@@ -1,0 +1,61 @@
+"""Receiver trajectory inputs: ECEF user-motion CSV and NMEA GGA streams.
+
+Parity targets: readUserMotion (gpssim.c:1358-1384, 10 Hz `t,x,y,z` ECEF
+rows) and readNmeaGGA (gpssim.c:1386-1465, $GPGGA -> LLH (+geoid
+separation) -> ECEF). Unlike the reference, the maximum point count is a
+runtime parameter instead of the USER_MOTION_SIZE compile-time define.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gps_sdr_sim_tpu.constants import R2D, USER_MOTION_SIZE
+from gps_sdr_sim_tpu.utils.coord import llh2xyz
+from gps_sdr_sim_tpu.utils.cstd import c_atof
+
+
+def read_user_motion(filename: str, max_points: int = USER_MOTION_SIZE) -> np.ndarray:
+    """Read a 10 Hz ECEF motion CSV; returns [N, 3] float64 positions."""
+    rows = []
+    with open(filename, "rt") as fp:
+        for line in fp:
+            if len(rows) >= max_points:
+                break
+            parts = line.split(",")
+            if len(parts) < 4:
+                break
+            try:
+                _t = float(parts[0])
+                x, y, z = float(parts[1]), float(parts[2]), float(parts[3])
+            except ValueError:
+                break
+            rows.append((x, y, z))
+    return np.array(rows, dtype=np.float64).reshape(-1, 3)
+
+
+def read_nmea_gga(filename: str, max_points: int = USER_MOTION_SIZE) -> np.ndarray:
+    """Read $GPGGA sentences; returns [N, 3] float64 ECEF positions."""
+    rows = []
+    with open(filename, "rt") as fp:
+        for line in fp:
+            token = line.split(",")
+            if len(token) < 12 or len(token[0]) < 6 or token[0][3:6] != "GGA":
+                continue
+            # Latitude ddmm.mmmm
+            lat = c_atof(token[2][:2]) + c_atof(token[2][2:]) / 60.0
+            if token[3].startswith("S"):
+                lat = -lat
+            lat /= R2D
+            # Longitude dddmm.mmmm
+            lon = c_atof(token[4][:3]) + c_atof(token[4][3:]) / 60.0
+            if token[5].startswith("W"):
+                lon = -lon
+            lon /= R2D
+            # Altitude above MSL + geoid separation above WGS84
+            hgt = c_atof(token[9]) + c_atof(token[11])
+
+            rows.append(llh2xyz(np.array([lat, lon, hgt])))
+            if len(rows) >= max_points:
+                break
+    return np.array(rows, dtype=np.float64).reshape(-1, 3)

@@ -1,0 +1,37 @@
+"""Small helpers that replicate C standard-library semantics.
+
+The host layer must reproduce the C oracle's arithmetic exactly; Python's
+round() (banker's rounding) and float() (strict parsing) differ from C's
+round() (half away from zero) and atof() (lenient prefix parsing), so we
+provide faithful equivalents.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+_FLOAT_RE = re.compile(r"^[ \t\n\r\f\v]*([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)")
+_INT_RE = re.compile(r"^[ \t\n\r\f\v]*([+-]?\d+)")
+
+
+def c_round(x):
+    """C round(): round half away from zero. Works on scalars and arrays."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def c_atof(s: str) -> float:
+    """C atof(): parse the longest valid numeric prefix, 0.0 on failure."""
+    m = _FLOAT_RE.match(s)
+    if not m:
+        return 0.0
+    return float(m.group(1))
+
+
+def c_atoi(s: str) -> int:
+    """C atoi(): parse the longest valid integer prefix, 0 on failure."""
+    m = _INT_RE.match(s)
+    if not m:
+        return 0
+    return int(m.group(1))
