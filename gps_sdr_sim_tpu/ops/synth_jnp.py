@@ -1,0 +1,162 @@
+"""Gather-free XLA IQ synthesis kernel (the TPU fast path).
+
+The per-sample hot loop of gpssim.c:2190-2264 re-expressed as a closed-form,
+fully data-parallel evaluation over [epochs, sub-blocks, samples], summed
+over channels. TPU constraint: vectorized table gathers (jnp.take) lower to
+catastrophically slow code on TPU (~100x the cost of the arithmetic), so
+every lookup is replaced by VPU arithmetic:
+
+ - code-phase / carrier-phase ramps: exact 40-bit fixed point in three
+   int32 limbs (see ops/plan.py);
+ - C/A chip lookup: chips bit-packed into 32 uint32 words per channel; the
+   word is selected by a 5-level binary where-tree on the chip index (31
+   selects against broadcast scalars), then one shift+mask extracts the chip;
+ - nav data bit: only <= 7 consecutive bits are reachable inside one epoch,
+   so the host ships an 8-bit window per (epoch, channel) and the kernel
+   shifts into it;
+ - sin/cos mixer table (sinTable512/cosTable512, gpssim.c:15-83): computed
+   directly as round(250*sin(2*pi*(i+0.5)/512)) on the VPU. Because float32
+   transcendentals could round differently from the reference table near
+   .5 boundaries, we evaluate all 512 indices once per backend, diff against
+   the exact table, and bake the (rare) corrections into the kernel as
+   where-patches -- making the computed table bit-identical to the C arrays.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gps_sdr_sim_tpu.constants import CA_SEQ_LEN, SUBBLOCK
+from gps_sdr_sim_tpu.ops.plan import DeviceBatch
+from gps_sdr_sim_tpu.ops.tables import COS_TABLE512, SIN_TABLE512
+
+_INV1023 = np.float32(1.0 / 1023.0)
+_TWO_PI_512 = np.float32(2.0 * np.pi / 512.0)
+
+
+def _trig_formula(i_tab):
+    """round(250*sin/cos(2*pi*(i+0.5)/512)) as int32 (half away from zero)."""
+    x = (i_tab.astype(jnp.float32) + 0.5) * _TWO_PI_512
+    s = 250.0 * jnp.sin(x)
+    c = 250.0 * jnp.cos(x)
+    sin_v = (s + jnp.sign(s) * 0.5).astype(jnp.int32)
+    cos_v = (c + jnp.sign(c) * 0.5).astype(jnp.int32)
+    return sin_v, cos_v
+
+
+@lru_cache(maxsize=None)
+def _trig_corrections(backend: str):
+    """Indices/deltas where this backend's f32 trig disagrees with the table."""
+    idx = jnp.arange(512, dtype=jnp.int32)
+    sin_v, cos_v = jax.jit(_trig_formula, backend=backend)(idx)
+    ds = SIN_TABLE512 - np.asarray(sin_v)
+    dc = COS_TABLE512 - np.asarray(cos_v)
+    s_nz = np.nonzero(ds)[0]
+    c_nz = np.nonzero(dc)[0]
+    return (tuple((int(i), int(ds[i])) for i in s_nz),
+            tuple((int(i), int(dc[i])) for i in c_nz))
+
+
+def _select32(words, idx5):
+    """Select words[idx5] from 32 broadcast scalars via a binary where-tree."""
+    vals = [words[w] for w in range(32)]
+    for level in range(5):
+        bit = (idx5 >> level) & 1
+        vals = [jnp.where(bit == 1, vals[2 * i + 1], vals[2 * i])
+                for i in range(len(vals) // 2)]
+    return vals[0]
+
+
+def _channel_contribution(c, code_s, code_p, carr_s, carr_p, t_base, m0, b0,
+                          navbits, gain, ca_words, sin_fix, cos_fix):
+    """One channel's (I, Q) int32 contribution over [B, SB, R]."""
+    r = jnp.arange(SUBBLOCK, dtype=jnp.int32)
+
+    # --- code-phase ramp: three-limb int32 closed form ---
+    v0 = code_p[:, :, c, 0, None] + r * code_s[:, None, c, 0, None]
+    v1 = code_p[:, :, c, 1, None] + r * code_s[:, None, c, 1, None]
+    v2 = code_p[:, :, c, 2, None] + r * code_s[:, None, c, 2, None]
+    v1 = v1 + (v0 >> 16)
+    v2 = v2 + (v1 >> 16)
+    d = v2 >> 8  # chips advanced within the sub-block
+    T = t_base[:, :, c, None] + d  # chips since epoch start (< 2^17)
+
+    # --- wrap count and chip index (exact in float32 for T < 2^24) ---
+    M = jnp.floor((T.astype(jnp.float32) + 0.5) * _INV1023).astype(jnp.int32)
+    chip = T - CA_SEQ_LEN * M
+
+    # --- C/A chip from bit-packed words ---
+    word = _select32(ca_words[c], chip >> 5)
+    chip_bit = (word >> (chip & 31)) & 1
+    ca_val = 2 * chip_bit - 1
+
+    # --- nav data bit from the per-epoch 8-bit window ---
+    mg = m0[:, c, None, None] + M
+    bidx = jnp.floor((mg.astype(jnp.float32) + 0.5)
+                     * np.float32(1.0 / 20.0)).astype(jnp.int32)
+    j = bidx - b0[:, c, None, None]
+    bit_val = 2 * ((navbits[:, c, None, None] >> j) & 1) - 1
+
+    # --- carrier-phase ramp -> 9-bit index -> computed trig table ---
+    w0 = carr_p[:, :, c, 0, None] + r * carr_s[:, None, c, 0, None]
+    w1 = carr_p[:, :, c, 1, None] + r * carr_s[:, None, c, 1, None]
+    w2 = carr_p[:, :, c, 2, None] + r * carr_s[:, None, c, 2, None]
+    w1 = w1 + (w0 >> 16)
+    w2 = w2 + (w1 >> 16)
+    i_tab = ((w2 << 1) | ((w1 >> 15) & 1)) & 0x1FF
+    sin_v, cos_v = _trig_formula(i_tab)
+    for i0, dv in sin_fix:
+        sin_v = sin_v + dv * (i_tab == i0)
+    for i0, dv in cos_fix:
+        cos_v = cos_v + dv * (i_tab == i0)
+
+    m = bit_val * ca_val * gain[:, c, None, None]
+    return m * cos_v, m * sin_v
+
+
+@lru_cache(maxsize=None)
+def _get_synth_fn(n_out: int, n_chan: int, backend: str):
+    sin_fix, cos_fix = _trig_corrections(backend)
+
+    @jax.jit
+    def synth(code_s, code_p, carr_s, carr_p, t_base, m0, b0, navbits, gain,
+              ca_words):
+        B, SB, C = t_base.shape
+        iacc = jnp.zeros((B, SB, SUBBLOCK), jnp.int32)
+        qacc = jnp.zeros((B, SB, SUBBLOCK), jnp.int32)
+        for c in range(n_chan):
+            ic, qc = _channel_contribution(
+                c, code_s, code_p, carr_s, carr_p, t_base, m0, b0, navbits,
+                gain, ca_words, sin_fix, cos_fix)
+            iacc = iacc + ic
+            qacc = qacc + qc
+
+        # Reference rounding: (acc + 64) >> 7, truncating cast to int16.
+        i16 = ((iacc + 64) >> 7).astype(jnp.int16).reshape(B, SB * SUBBLOCK)
+        q16 = ((qacc + 64) >> 7).astype(jnp.int16).reshape(B, SB * SUBBLOCK)
+        return jnp.stack([i16, q16], axis=-1)[:, :n_out]
+
+    return synth
+
+
+def synth_iq16(code_s, code_p, carr_s, carr_p, t_base, m0, b0, navbits, gain,
+               ca_words, *, n_out: int):
+    """Synthesize int16 IQ for a batch of epochs; returns [B, n_out, 2]."""
+    n_chan = int(gain.shape[1])
+    fn = _get_synth_fn(n_out, n_chan, jax.default_backend())
+    return fn(code_s, code_p, carr_s, carr_p, t_base, m0, b0, navbits, gain,
+              ca_words)
+
+
+def synth_batch(batch: DeviceBatch, n_out: int) -> jax.Array:
+    """Convenience wrapper: DeviceBatch -> [B, n_out, 2] int16 on device."""
+    return synth_iq16(
+        jnp.asarray(batch.code_s), jnp.asarray(batch.code_p),
+        jnp.asarray(batch.carr_s), jnp.asarray(batch.carr_p),
+        jnp.asarray(batch.t_base), jnp.asarray(batch.m0),
+        jnp.asarray(batch.b0), jnp.asarray(batch.navbits),
+        jnp.asarray(batch.gain), jnp.asarray(batch.ca_words), n_out=n_out)
