@@ -33,6 +33,8 @@ from gps_sdr_sim_tpu.models.scenario import Segment
 
 _SCALE = float(1 << PHASE_FRAC_BITS)
 _MASK40 = (1 << PHASE_FRAC_BITS) - 1
+_SCALE56 = float(1 << 56)
+_MASK56 = (1 << 56) - 1
 
 
 @dataclass
@@ -68,6 +70,18 @@ def _limbs(x: np.ndarray) -> np.ndarray:
     out[..., 0] = (x & 0xFFFF).astype(np.int32)
     out[..., 1] = ((x >> 16) & 0xFFFF).astype(np.int32)
     out[..., 2] = (x >> 32).astype(np.int32)
+    return out
+
+
+def _limbs8(x: np.ndarray, n: int = 7) -> np.ndarray:
+    """Split int64 values (< 2^(8n)) into n 8-bit limbs, int32.
+
+    8-bit limbs let the *device* perform the per-sub-block rebase exactly:
+    k0 < 2^18 times an 8-bit limb stays under 2^26 in int32.
+    """
+    out = np.empty(x.shape + (n,), dtype=np.int32)
+    for j in range(n):
+        out[..., j] = ((x >> (8 * j)) & 0xFF).astype(np.int32)
     return out
 
 
@@ -132,3 +146,105 @@ def plan_batch(seg: Segment, e0: int, e1: int, iq_buff_size: int,
         gain=gain,
         ca_words=ca_words,
     )
+
+
+@dataclass
+class EpochBatch:
+    """Compact per-epoch device inputs (the fast path).
+
+    Unlike DeviceBatch, nothing here is expanded per sub-block: the device
+    performs the exact per-sub-block rebase itself from 8-bit limbs (see
+    synth_pallas._device_rebase), so the host->device transfer is ~40 int32
+    per (epoch, channel) regardless of sample rate. Channels are compacted
+    (active first, n_chan of them) so inactive channels cost nothing.
+    """
+
+    t0: np.ndarray  # [B, C] int32 floor(code_phase0), chips
+    code_f8: np.ndarray  # [B, C, 8] int32 8-bit limbs, frac(code_phase0)*2^56
+    code_s8: np.ndarray  # [B, C, 8] int32 8-bit limbs of the code step * 2^56
+    carr_f8: np.ndarray  # [B, C, 8]
+    carr_s8: np.ndarray  # [B, C, 8]
+    m0: np.ndarray  # [B, C] int32
+    b0: np.ndarray  # [B, C] int32
+    navbits: np.ndarray  # [B, C] int32
+    gain: np.ndarray  # [B, C] int32
+    ca_words: np.ndarray  # [C, 32] int32 bit-packed chips
+    n_chan: int
+
+
+def plan_epochs(seg: Segment, e0: int, e1: int, delt: float,
+                compact: bool = True) -> EpochBatch:
+    """Prepare epochs [e0, e1) of `seg` in the compact per-epoch form."""
+    if compact:
+        order = np.argsort(~seg.active, kind="stable")  # active first
+        n_chan = int(seg.active.sum())
+    else:
+        order = np.arange(MAX_CHAN)
+        n_chan = MAX_CHAN
+
+    f_code = seg.f_code[e0:e1][:, order]
+    f_carr = seg.f_carr[e0:e1][:, order]
+    code_phase0 = seg.code_phase0[e0:e1][:, order]
+    carr_phase0 = seg.carr_phase0[e0:e1][:, order]
+    m0 = seg.m0[e0:e1][:, order].astype(np.int64)
+    gain = (seg.gain[e0:e1] * seg.active[None, :])[:, order].astype(np.int32)
+    bits = seg.bits[order]
+    ca = seg.ca[order]
+
+    # Steps at 2^56 resolution: the on-device rebase accumulates the step
+    # over up to 2^18 samples, so the step must carry >= 56 fractional bits
+    # for the epoch-end drift (k * quantization) to stay ~1e-12.
+    step_code = f_code * delt
+    step_carr = np.mod(f_carr * delt, 1.0)
+    # The code step exceeds 1 chip/sample below ~1.023 Msps, so steps get
+    # 8 limbs (64 bits); phase fractions are < 1 but padded to match.
+    s_code = np.rint(step_code * _SCALE56).astype(np.int64)
+    # A carrier step that rounds up to exactly 2^56 is congruent to 0 and
+    # must wrap, or its top limb would escape the 8-bit range.
+    s_carr = np.rint(step_carr * _SCALE56).astype(np.int64) & _MASK56
+
+    t0f = np.floor(code_phase0)
+    code_f8 = _limbs8(((code_phase0 - t0f) * _SCALE56).astype(np.int64), 8)
+    carr_f8 = _limbs8(
+        ((carr_phase0 - np.floor(carr_phase0)) * _SCALE56).astype(np.int64), 8)
+
+    b0 = m0 // 20
+    bit01 = (bits + 1) // 2
+    j = np.arange(8, dtype=np.int64)
+    bidx = np.minimum(b0[..., None] + j, 1799)
+    window = np.take_along_axis(
+        np.broadcast_to(bit01[None], (e1 - e0,) + bit01.shape), bidx, axis=2)
+    navbits = np.sum(window.astype(np.int64) << j, axis=-1).astype(np.int32)
+
+    chip01 = ((ca + 1) // 2).astype(np.int64)
+    padded = np.zeros((chip01.shape[0], 1024), dtype=np.int64)
+    padded[:, :CA_SEQ_LEN] = chip01
+    k = np.arange(32, dtype=np.int64)
+    ca_words = np.sum(padded.reshape(-1, 32, 32) << k, axis=-1)
+    ca_words = ca_words.astype(np.uint32).view(np.int32)
+
+    return EpochBatch(
+        t0=t0f.astype(np.int32), code_f8=code_f8,
+        code_s8=_limbs8(s_code, 8), carr_f8=carr_f8,
+        carr_s8=_limbs8(s_carr, 8), m0=m0.astype(np.int32),
+        b0=b0.astype(np.int32), navbits=navbits, gain=gain,
+        ca_words=ca_words, n_chan=n_chan)
+
+
+def pad_epochs(eb: EpochBatch, target_b: int) -> EpochBatch:
+    """Pad an EpochBatch to `target_b` epochs (zero gain => silence)."""
+    b = eb.gain.shape[0]
+    if b == target_b:
+        return eb
+    pad = target_b - b
+
+    def pe(a):
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, widths, mode="edge")
+
+    return EpochBatch(
+        t0=pe(eb.t0), code_f8=pe(eb.code_f8), code_s8=pe(eb.code_s8),
+        carr_f8=pe(eb.carr_f8), carr_s8=pe(eb.carr_s8), m0=pe(eb.m0),
+        b0=pe(eb.b0), navbits=pe(eb.navbits),
+        gain=np.pad(eb.gain, [(0, pad), (0, 0)]),
+        ca_words=eb.ca_words, n_chan=eb.n_chan)

@@ -1,0 +1,310 @@
+"""Fused Pallas TPU kernel for IQ synthesis.
+
+Same mathematical contract as ops/synth_jnp.py (the per-sample hot loop of
+gpssim.c:2190-2264 in closed form), but hand-fused: one kernel instance
+synthesizes a [TILE_ROWS, SUBBLOCK] block of samples for all channels with
+every intermediate in VMEM/registers -- no HBM round-trips between the
+per-channel chains, which is where the XLA-fused version loses time.
+
+Layout: the epoch/sub-block structure is flattened to rows (row = one
+sub-block of one epoch); per-row-per-channel parameters are packed into a
+[ROWS, C*32] int32 array (32 lanes per channel, see _P* indices), so each
+channel's scalars are a static lane slice broadcast against the in-kernel
+sample iota.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gps_sdr_sim_tpu.constants import CA_SEQ_LEN, MAX_CHAN, SUBBLOCK
+from gps_sdr_sim_tpu.ops.plan import DeviceBatch
+from gps_sdr_sim_tpu.ops.tables import COS_TABLE512, SIN_TABLE512
+
+# Parameter lane assignment within a channel's 32-lane strip.
+_P_CODE_P = 0  # 0..2: code-phase base limbs
+_P_CARR_P = 3  # 3..5: carrier-phase base limbs
+_P_TBASE = 6
+_P_CODE_S = 7  # 7..9: code-step limbs
+_P_CARR_S = 10  # 10..12: carrier-step limbs
+_P_M0 = 13
+_P_B0 = 14
+_P_NAVBITS = 15
+_P_GAIN = 16
+PARAM_LANES = 32
+
+_TILE_ROWS = 8
+_INV1023 = np.float32(1.0 / 1023.0)
+
+
+def _interpret() -> bool:
+    """Pallas has no CPU backend; tests on CPU run the interpreter."""
+    return jax.default_backend() == "cpu"
+
+_INV20 = np.float32(1.0 / 20.0)
+_TWO_PI_512 = np.float32(2.0 * np.pi / 512.0)
+
+
+def _trig_formula(i_tab):
+    x = (i_tab.astype(jnp.float32) + 0.5) * _TWO_PI_512
+    s = 250.0 * jnp.sin(x)
+    c = 250.0 * jnp.cos(x)
+    sin_v = (s + jnp.sign(s) * 0.5).astype(jnp.int32)
+    cos_v = (c + jnp.sign(c) * 0.5).astype(jnp.int32)
+    return sin_v, cos_v
+
+
+@lru_cache(maxsize=None)
+def _pallas_trig_corrections():
+    """Corrections for Mosaic's f32 trig vs the exact reference table."""
+
+    def kernel(out_s_ref, out_c_ref):
+        i = (jax.lax.broadcasted_iota(jnp.int32, (4, 128), 0) * 128
+             + jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1))
+        s, c = _trig_formula(i)
+        out_s_ref[:] = s
+        out_c_ref[:] = c
+
+    s, c = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((4, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((4, 128), jnp.int32)),
+        interpret=_interpret(),
+    )()
+    ds = SIN_TABLE512 - np.asarray(s).reshape(-1)
+    dc = COS_TABLE512 - np.asarray(c).reshape(-1)
+    return (tuple((int(i), int(ds[i])) for i in np.nonzero(ds)[0]),
+            tuple((int(i), int(dc[i])) for i in np.nonzero(dc)[0]))
+
+
+def _select32(vals, idx5):
+    for level in range(5):
+        bit = (idx5 >> level) & 1
+        vals = [jnp.where(bit == 1, vals[2 * i + 1], vals[2 * i])
+                for i in range(len(vals) // 2)]
+    return vals[0]
+
+
+def _make_kernel(n_chan: int, sin_fix, cos_fix):
+    def kernel(params_ref, ca_ref, i_ref, q_ref):
+        r = jax.lax.broadcasted_iota(jnp.int32, (_TILE_ROWS, SUBBLOCK), 1)
+        iacc = jnp.zeros((_TILE_ROWS, SUBBLOCK), jnp.int32)
+        qacc = jnp.zeros((_TILE_ROWS, SUBBLOCK), jnp.int32)
+
+        for c in range(n_chan):
+            base = c * PARAM_LANES
+
+            def p(lane):
+                return params_ref[:, base + lane][:, None]  # [TILE, 1]
+
+            # --- code-phase ramp ---
+            v0 = p(_P_CODE_P + 0) + r * p(_P_CODE_S + 0)
+            v1 = p(_P_CODE_P + 1) + r * p(_P_CODE_S + 1)
+            v2 = p(_P_CODE_P + 2) + r * p(_P_CODE_S + 2)
+            v1 = v1 + (v0 >> 16)
+            v2 = v2 + (v1 >> 16)
+            T = p(_P_TBASE) + (v2 >> 8)
+
+            M = jnp.floor((T.astype(jnp.float32) + 0.5)
+                          * _INV1023).astype(jnp.int32)
+            chip = T - CA_SEQ_LEN * M
+
+            words = [ca_ref[c, w] for w in range(32)]
+            word = _select32(words, chip >> 5)
+            ca_val = 2 * ((word >> (chip & 31)) & 1) - 1
+
+            mg = p(_P_M0) + M
+            bidx = jnp.floor((mg.astype(jnp.float32) + 0.5)
+                             * _INV20).astype(jnp.int32)
+            j = bidx - p(_P_B0)
+            bit_val = 2 * ((p(_P_NAVBITS) >> j) & 1) - 1
+
+            # --- carrier-phase ramp ---
+            w0 = p(_P_CARR_P + 0) + r * p(_P_CARR_S + 0)
+            w1 = p(_P_CARR_P + 1) + r * p(_P_CARR_S + 1)
+            w2 = p(_P_CARR_P + 2) + r * p(_P_CARR_S + 2)
+            w1 = w1 + (w0 >> 16)
+            w2 = w2 + (w1 >> 16)
+            i_tab = ((w2 << 1) | ((w1 >> 15) & 1)) & 0x1FF
+            sin_v, cos_v = _trig_formula(i_tab)
+            for i0, dv in sin_fix:
+                sin_v = sin_v + dv * (i_tab == i0)
+            for i0, dv in cos_fix:
+                cos_v = cos_v + dv * (i_tab == i0)
+
+            m = bit_val * ca_val * p(_P_GAIN)
+            iacc = iacc + m * cos_v
+            qacc = qacc + m * sin_v
+
+        i_ref[:] = ((iacc + 64) >> 7).astype(jnp.int16)
+        q_ref[:] = ((qacc + 64) >> 7).astype(jnp.int16)
+
+    return kernel
+
+
+@lru_cache(maxsize=None)
+def _get_pallas_fn(n_chan: int):
+    sin_fix, cos_fix = _pallas_trig_corrections()
+    kernel = _make_kernel(n_chan, sin_fix, cos_fix)
+
+    @jax.jit
+    def run(params, ca_words):
+        rows = params.shape[0]
+        grid = (rows // _TILE_ROWS,)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((_TILE_ROWS, params.shape[1]),
+                             lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # ca_words whole
+            ],
+            out_specs=(
+                pl.BlockSpec((_TILE_ROWS, SUBBLOCK), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_TILE_ROWS, SUBBLOCK), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((rows, SUBBLOCK), jnp.int16),
+                jax.ShapeDtypeStruct((rows, SUBBLOCK), jnp.int16),
+            ),
+            interpret=_interpret(),
+        )(params, ca_words)
+
+    return run
+
+
+def pack_params(db: DeviceBatch) -> np.ndarray:
+    """DeviceBatch -> [B*SB (padded to TILE), C*32] int32 parameter rows."""
+    B, SB, C = db.t_base.shape
+    rows = B * SB
+    rows_pad = -(-rows // _TILE_ROWS) * _TILE_ROWS
+    params = np.zeros((rows_pad, C, PARAM_LANES), dtype=np.int32)
+
+    def put(lane, arr_row_c):  # arr [B, SB, C] -> rows
+        params[:rows, :, lane] = arr_row_c.reshape(rows, C)
+
+    def put_epoch(lane, arr_b_c):  # arr [B, C] broadcast over SB
+        put(lane, np.broadcast_to(arr_b_c[:, None, :], (B, SB, C)))
+
+    for k in range(3):
+        put(_P_CODE_P + k, db.code_p[..., k])
+        put(_P_CARR_P + k, db.carr_p[..., k])
+        put_epoch(_P_CODE_S + k, db.code_s[..., k])
+        put_epoch(_P_CARR_S + k, db.carr_s[..., k])
+    put(_P_TBASE, db.t_base)
+    put_epoch(_P_M0, db.m0)
+    put_epoch(_P_B0, db.b0)
+    put_epoch(_P_NAVBITS, db.navbits)
+    put_epoch(_P_GAIN, db.gain)
+    return params.reshape(rows_pad, C * PARAM_LANES)
+
+
+def synth_batch(batch: DeviceBatch, n_out: int) -> jax.Array:
+    """DeviceBatch -> [B, n_out, 2] int16 via the fused Pallas kernel."""
+    B, SB, C = batch.t_base.shape
+    params = pack_params(batch)
+    fn = _get_pallas_fn(C)
+    i16, q16 = fn(jnp.asarray(params), jnp.asarray(batch.ca_words))
+    rows = B * SB
+    iq = jnp.stack([i16[:rows].reshape(B, SB * SUBBLOCK),
+                    q16[:rows].reshape(B, SB * SUBBLOCK)], axis=-1)
+    return iq[:, :n_out]
+
+
+# ---------------------------------------------------------------------------
+# Fast path: compact per-epoch upload + on-device sub-block rebase.
+# ---------------------------------------------------------------------------
+
+
+def _device_rebase(f8, s8, k0):
+    """tot = f8 + k0 * s8 over 8 exact 8-bit limbs (all int32).
+
+    f8/s8: [B, C, 8] 2^56-scaled values (the step may exceed 1.0, hence 8
+    limbs = 64 bits); k0: [SB]. Returns (the kernel's three 16-bit limbs
+    covering fractional bits [16, 56), integer part = bits >= 56), each
+    [B, SB, C].
+    """
+    t = f8[:, None, :, :] + k0[None, :, None, None] * s8[:, None, :, :]
+    carry = jnp.zeros_like(t[..., 0])
+    limbs = []
+    for j in range(8):
+        tj = t[..., j] + carry
+        carry = tj >> 8
+        limbs.append(tj & 0xFF)
+    # Kernel base = fractional bits [16, 56) as three 16-bit limbs.
+    l16_0 = limbs[2] | (limbs[3] << 8)
+    l16_1 = limbs[4] | (limbs[5] << 8)
+    l16_2 = limbs[6]
+    t_int = limbs[7] | (carry << 8)  # bits >= 56
+    return (l16_0, l16_1, l16_2), t_int
+
+
+@lru_cache(maxsize=None)
+def _get_epoch_fn(n_chan: int, sub_blocks: int, n_out: int):
+    pallas_fn_inner = _get_pallas_fn(n_chan)
+    SB = sub_blocks
+
+    @jax.jit
+    def run(t0, code_f8, code_s8, carr_f8, carr_s8, m0, b0, navbits, gain,
+            ca_words):
+        B, C = t0.shape
+        k0 = jnp.arange(SB, dtype=jnp.int32) * SUBBLOCK
+
+        (cp0, cp1, cp2), ccarry = _device_rebase(code_f8, code_s8, k0)
+        (qp0, qp1, qp2), _ = _device_rebase(carr_f8, carr_s8, k0)
+        t_base = t0[:, None, :] + ccarry
+
+        # Per-sample kernel steps: bits [16, 64) of the 2^56-scaled step
+        # (the top limb may exceed 8 bits when the step is > 1 chip/sample;
+        # the kernel's v2 chain has the headroom for it).
+        def step16(s8):
+            l0 = s8[..., 2] | (s8[..., 3] << 8)
+            l1 = s8[..., 4] | (s8[..., 5] << 8)
+            l2 = s8[..., 6] | (s8[..., 7] << 8)
+            return l0, l1, l2
+
+        cs0, cs1, cs2 = step16(code_s8)
+        gs0, gs1, gs2 = step16(carr_s8)
+
+        def bc(a):  # [B, C] -> [B, SB, C]
+            return jnp.broadcast_to(a[:, None, :], (B, SB, C))
+
+        lanes = [cp0, cp1, cp2, qp0, qp1, qp2, t_base,
+                 bc(cs0), bc(cs1), bc(cs2), bc(gs0), bc(gs1), bc(gs2),
+                 bc(m0), bc(b0), bc(navbits), bc(gain)]
+        params = jnp.stack(
+            lanes + [jnp.zeros_like(t_base)] * (PARAM_LANES - len(lanes)),
+            axis=-1)  # [B, SB, C, 32]
+        rows = B * SB
+        rows_pad = -(-rows // _TILE_ROWS) * _TILE_ROWS
+        params = params.reshape(rows, C * PARAM_LANES)
+        if rows_pad != rows:
+            params = jnp.pad(params, ((0, rows_pad - rows), (0, 0)))
+
+        i16, q16 = pallas_fn_inner(params, ca_words)
+        iq = jnp.stack([i16[:rows].reshape(B, SB * SUBBLOCK),
+                        q16[:rows].reshape(B, SB * SUBBLOCK)], axis=-1)
+        return iq[:, :n_out]
+
+    return run
+
+
+def synth_epochs(eb, n_out: int) -> jax.Array:
+    """EpochBatch -> [B, n_out, 2] int16; rebase and synthesis on device."""
+    from gps_sdr_sim_tpu.ops.plan import EpochBatch  # noqa: F401
+    sub_blocks = -(-n_out // SUBBLOCK)
+    n_chan = max(eb.n_chan, 1)
+    fn = _get_epoch_fn(n_chan, sub_blocks, n_out)
+    return fn(jnp.asarray(eb.t0), jnp.asarray(eb.code_f8),
+              jnp.asarray(eb.code_s8), jnp.asarray(eb.carr_f8),
+              jnp.asarray(eb.carr_s8), jnp.asarray(eb.m0),
+              jnp.asarray(eb.b0), jnp.asarray(eb.navbits),
+              jnp.asarray(eb.gain), jnp.asarray(eb.ca_words))

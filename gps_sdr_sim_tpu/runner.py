@@ -22,9 +22,14 @@ from gps_sdr_sim_tpu.models.scenario import (
     ScenarioConfig,
     build_scenario,
 )
-from gps_sdr_sim_tpu.ops.plan import DeviceBatch, plan_batch
+from gps_sdr_sim_tpu.ops.plan import (
+    DeviceBatch,
+    pad_epochs,
+    plan_batch,
+    plan_epochs,
+)
 from gps_sdr_sim_tpu.ops.quantize import pack
-from gps_sdr_sim_tpu.ops import synth_jnp
+from gps_sdr_sim_tpu.ops import synth_jnp, synth_pallas
 
 
 @dataclass
@@ -62,12 +67,14 @@ def _pad_batch(db: DeviceBatch, target_b: int) -> DeviceBatch:
 
 def run_simulation(scn: Scenario, fp: BinaryIO, batch_epochs: int = 20,
                    log: Optional[Callable[[str], None]] = None,
-                   synth=None) -> RunStats:
-    """Synthesize the whole scenario into `fp`. Returns throughput stats."""
+                   impl: str = "pallas") -> RunStats:
+    """Synthesize the whole scenario into `fp`. Returns throughput stats.
+
+    impl: "pallas" (fused kernel + on-device rebase; the TPU fast path) or
+    "xla" (pure jax.numpy kernel; correctness anchor, works everywhere).
+    """
     if log is None:
         log = lambda s: print(s, end="", file=sys.stderr, flush=True)
-    if synth is None:
-        synth = synth_jnp.synth_batch
 
     n = scn.iq_buff_size
     fmt = scn.config.data_format
@@ -85,9 +92,14 @@ def run_simulation(scn: Scenario, fp: BinaryIO, batch_epochs: int = 20,
         e = 0
         while e < seg.n_epochs:
             b = min(batch_epochs, seg.n_epochs - e)
-            db = _pad_batch(plan_batch(seg, e, e + b, n, scn.delt),
-                            batch_epochs)
-            iq = synth(db, n)  # [B, n, 2] int16, async
+            if impl == "pallas":
+                eb = pad_epochs(plan_epochs(seg, e, e + b, scn.delt),
+                                batch_epochs)
+                iq = synth_pallas.synth_epochs(eb, n)  # async dispatch
+            else:
+                db = _pad_batch(plan_batch(seg, e, e + b, n, scn.delt),
+                                batch_epochs)
+                iq = synth_jnp.synth_batch(db, n)
             out = pack(iq, fmt)
             if pending is not None:
                 flush(pending)
