@@ -1,0 +1,218 @@
+"""Command-line interface, flag-compatible with the reference simulator.
+
+Parity target: the getopt loop and stderr UX of gpssim.c:1650-1852 and
+:2037-2366 — same flags, same defaults, same error messages, same channel
+table, plus TPU-native extensions prefixed with `--` (batching, kernel
+implementation, sharding).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from gps_sdr_sim_tpu.constants import STATIC_MAX_DURATION, USER_MOTION_SIZE, R2D
+from gps_sdr_sim_tpu.models.scenario import (
+    ScenarioConfig,
+    ScenarioError,
+    build_scenario,
+)
+from gps_sdr_sim_tpu.utils.coord import llh2xyz
+from gps_sdr_sim_tpu.utils.gpstime import DateTime
+
+
+def _err(msg: str):
+    print(f"ERROR: {msg}", file=sys.stderr)
+    raise SystemExit(1)
+
+
+def _usage():
+    print(
+        "Usage: gps-sdr-sim-tpu [options]\n"
+        "Options:\n"
+        "  -e <gps_nav>     RINEX navigation file for GPS ephemerides (required)\n"
+        "  -u <user_motion> User motion file (dynamic mode)\n"
+        "  -g <nmea_gga>    NMEA GGA stream (dynamic mode)\n"
+        "  -c <location>    ECEF X,Y,Z in meters (static mode) e.g. 3967283.154,1022538.181,4872414.484\n"
+        "  -l <location>    Lat,Lon,Hgt (static mode) e.g. 35.681298,139.766247,10.0\n"
+        "  -t <date,time>   Scenario start time YYYY/MM/DD,hh:mm:ss\n"
+        "  -T <date,time>   Overwrite TOC and TOE to scenario start time\n"
+        f"  -d <duration>    Duration [sec] (dynamic mode max: {USER_MOTION_SIZE / 10.0:.0f}, "
+        f"static mode max: {STATIC_MAX_DURATION})\n"
+        "  -o <output>      I/Q sampling data file (default: gpssim.bin)\n"
+        "  -s <frequency>   Sampling frequency [Hz] (default: 2600000)\n"
+        "  -b <iq_bits>     I/Q data format [1/8/16] (default: 16)\n"
+        "  -i               Disable ionospheric delay for spacecraft scenario\n"
+        "  -v               Show details about simulated channels\n"
+        "TPU extensions:\n"
+        "  --impl <name>       Kernel implementation: pallas (default) or xla\n"
+        "  --batch-epochs <n>  Epochs per device dispatch (default: 20)\n"
+        "  --motion-size <n>   Max user-motion points (default: 3000)\n",
+        file=sys.stderr)
+
+
+def parse_args(argv) -> tuple:
+    ap = argparse.ArgumentParser(add_help=False)
+    ap.add_argument("-e", dest="navfile", default="")
+    ap.add_argument("-u", dest="umfile", default="")
+    ap.add_argument("-g", dest="ggafile", default="")
+    ap.add_argument("-c", dest="xyz", default="")
+    ap.add_argument("-l", dest="llh", default="")
+    ap.add_argument("-t", dest="t0", default="")
+    ap.add_argument("-T", dest="t0_overwrite", default="")
+    ap.add_argument("-d", dest="duration", type=float, default=None)
+    ap.add_argument("-o", dest="outfile", default="gpssim.bin")
+    ap.add_argument("-s", dest="samp_freq", type=float, default=2.6e6)
+    ap.add_argument("-b", dest="bits", type=int, default=16)
+    ap.add_argument("-i", dest="disable_iono", action="store_true")
+    ap.add_argument("-v", dest="verbose", action="store_true")
+    ap.add_argument("--impl", default="pallas", choices=("pallas", "xla"))
+    ap.add_argument("--batch-epochs", type=int, default=20)
+    ap.add_argument("--motion-size", type=int, default=USER_MOTION_SIZE)
+    try:
+        ns = ap.parse_args(argv)
+    except SystemExit:
+        _usage()
+        raise
+    return ns
+
+
+def _parse_datetime(s: str) -> DateTime:
+    t = DateTime()
+    try:
+        date, clock = s.split(",")
+        y, m, d = date.split("/")
+        hh, mm, sec = clock.split(":")
+        t.y, t.m, t.d = int(y), int(m), int(d)
+        t.hh, t.mm, t.sec = int(hh), int(mm), float(sec)
+    except ValueError:
+        _err("Invalid date and time.")
+    if (t.y <= 1980 or not 1 <= t.m <= 12 or not 1 <= t.d <= 31
+            or not 0 <= t.hh <= 23 or not 0 <= t.mm <= 59
+            or not 0.0 <= t.sec < 60.0):
+        _err("Invalid date and time.")
+    t.sec = float(int(t.sec))  # C: floor(t0.sec) (gpssim.c:1833)
+    return t
+
+
+def build_config(ns) -> ScenarioConfig:
+    if not ns.navfile:
+        _err("GPS ephemeris file is not specified.")
+    if ns.samp_freq < 1.0e6:
+        _err("Invalid sampling frequency.")
+    if ns.bits not in (1, 8, 16):
+        _err("Invalid I/Q data format.")
+
+    static_xyz = None
+    if ns.xyz:
+        static_xyz = np.array([float(v) for v in ns.xyz.split(",")])
+    elif ns.llh:
+        lat, lon, hgt = (float(v) for v in ns.llh.split(","))
+        static_xyz = llh2xyz(np.array([lat / R2D, lon / R2D, hgt]))
+
+    t0 = None
+    timeoverwrite = False
+    if ns.t0_overwrite:
+        timeoverwrite = True
+        if ns.t0_overwrite.startswith("now"):
+            gmt = time.gmtime()
+            t0 = DateTime(gmt.tm_year, gmt.tm_mon, gmt.tm_mday, gmt.tm_hour,
+                          gmt.tm_min, float(gmt.tm_sec))
+        else:
+            t0 = _parse_datetime(ns.t0_overwrite)
+    elif ns.t0:
+        t0 = _parse_datetime(ns.t0)
+
+    return ScenarioConfig(
+        nav_file=ns.navfile,
+        out_file=ns.outfile,
+        samp_freq=ns.samp_freq,
+        data_format=ns.bits,
+        static_xyz=static_xyz,
+        motion_file=ns.umfile or None,
+        nmea_file=ns.ggafile or None,
+        duration=ns.duration,
+        t0=t0,
+        timeoverwrite=timeoverwrite,
+        iono_enable=not ns.disable_iono,
+        verbose=ns.verbose,
+        max_motion_points=ns.motion_size,
+    )
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 2:
+        _usage()
+        return 1
+    ns = parse_args(argv)
+    cfg = build_config(ns)
+
+    if cfg.static_xyz is not None or (not cfg.motion_file
+                                      and not cfg.nmea_file):
+        print("Using static location mode.", file=sys.stderr)
+
+    try:
+        scn = build_scenario(cfg)
+    except ScenarioError as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
+
+    if cfg.verbose and scn.ionoutc.vflg:
+        io = scn.ionoutc
+        print(f"  {io.alpha0:12.3e} {io.alpha1:12.3e} {io.alpha2:12.3e} "
+              f"{io.alpha3:12.3e}", file=sys.stderr)
+        print(f"  {io.beta0:12.3e} {io.beta1:12.3e} {io.beta2:12.3e} "
+              f"{io.beta3:12.3e}", file=sys.stderr)
+        print(f"   {io.A0:19.11e} {io.A1:19.11e}  {io.tot:9d} {io.wnt:9d}",
+              file=sys.stderr)
+        print(f"{io.dtls:6d}", file=sys.stderr)
+
+    t0, g0 = scn.t0, scn.g0
+    print(f"Start time = {t0.y:4d}/{t0.m:02d}/{t0.d:02d},"
+          f"{t0.hh:02d}:{t0.mm:02d}:{t0.sec:02.0f} ({g0.week}:{g0.sec:.0f})",
+          file=sys.stderr)
+    print(f"Duration = {scn.numd / 10.0:.1f} [sec]", file=sys.stderr)
+
+    # Initial channel table (gpssim.c:2131-2136); verbose tables follow.
+    tables = scn.channel_tables if cfg.verbose else scn.channel_tables[:1]
+    for _iumd, rows in tables:
+        for prn, az, el, d, iono in rows:
+            print(f"{prn:02d} {az:6.1f} {el:5.1f} {d:11.1f} {iono:5.1f}",
+                  file=sys.stderr)
+
+    from gps_sdr_sim_tpu.runner import run_simulation  # defer jax import
+
+    if cfg.out_file == "-":
+        fp = sys.stdout.buffer
+        close = False
+    else:
+        try:
+            fp = open(cfg.out_file, "wb")
+        except OSError:
+            print("ERROR: Failed to open output file.", file=sys.stderr)
+            return 1
+        close = True
+
+    t_start = time.time()
+    try:
+        stats = run_simulation(scn, fp, batch_epochs=ns.batch_epochs,
+                               impl=ns.impl)
+    finally:
+        if close:
+            fp.close()
+
+    print("\nDone!", file=sys.stderr)
+    print(f"Process time = {time.time() - t_start:.1f} [sec]", file=sys.stderr)
+    if stats.wall_seconds:
+        rt = stats.samples_per_second / scn.samp_freq
+        print(f"Throughput = {stats.samples_per_second / 1e6:.1f} Msamples/s "
+              f"({rt:.1f}x real time)", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -6,7 +6,10 @@ Parity targets (gpssim.c:2266-2288):
  - SC01: the sign bit (sample > 0) of each interleaved I/Q value packed
    MSB-first, 4 IQ pairs per byte: {I0,Q0,I1,Q1,I2,Q2,I3,Q3}.
 
-All packing runs on-device so only the final bytes cross PCIe.
+All packing runs on-device so only the final bytes cross PCIe. Outputs keep
+the [B, N, 2] shape where possible -- it is bytewise identical to the
+interleaved [B, 2N] stream, and XLA:CPU pathologically slow-compiles int8
+reshapes (~77 s) that would otherwise be no-ops.
 """
 
 from __future__ import annotations
@@ -19,25 +22,22 @@ _BIT_WEIGHTS = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], dtype=jnp.int32)
 
 @jax.jit
 def pack_sc16(iq: jax.Array) -> jax.Array:
-    """[B, N, 2] int16 -> [B, 2N] int16 interleaved I/Q."""
-    b, n, _ = iq.shape
-    return iq.reshape(b, 2 * n)
+    """[B, N, 2] int16 -> int16 interleaved I/Q (layout already correct)."""
+    return iq
 
 
 @jax.jit
 def pack_sc08(iq: jax.Array) -> jax.Array:
-    """[B, N, 2] int16 -> [B, 2N] int8 via arithmetic >> 4."""
-    b, n, _ = iq.shape
-    return (iq >> 4).astype(jnp.int8).reshape(b, 2 * n)
+    """[B, N, 2] int16 -> int8 via arithmetic >> 4."""
+    return (iq >> 4).astype(jnp.int8)
 
 
 @jax.jit
 def pack_sc01(iq: jax.Array) -> jax.Array:
     """[B, N, 2] int16 -> [B, N/4] uint8, sign bits packed MSB-first."""
     b, n, _ = iq.shape
-    bits = (iq.reshape(b, 2 * n) > 0).astype(jnp.int32)
-    grouped = bits.reshape(b, (2 * n) // 8, 8)
-    return jnp.sum(grouped * _BIT_WEIGHTS, axis=-1).astype(jnp.uint8)
+    bits = (iq > 0).reshape(b, n // 4, 8).astype(jnp.int32)
+    return jnp.sum(bits * _BIT_WEIGHTS, axis=-1).astype(jnp.uint8)
 
 
 def pack(iq: jax.Array, data_format: int) -> jax.Array:

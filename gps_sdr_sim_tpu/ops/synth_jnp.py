@@ -126,14 +126,17 @@ def _get_synth_fn(n_out: int, n_chan: int, backend: str):
     def synth(code_s, code_p, carr_s, carr_p, t_base, m0, b0, navbits, gain,
               ca_words):
         B, SB, C = t_base.shape
-        iacc = jnp.zeros((B, SB, SUBBLOCK), jnp.int32)
-        qacc = jnp.zeros((B, SB, SUBBLOCK), jnp.int32)
-        for c in range(n_chan):
+
+        def body(c, accs):
+            iacc, qacc = accs
             ic, qc = _channel_contribution(
                 c, code_s, code_p, carr_s, carr_p, t_base, m0, b0, navbits,
                 gain, ca_words, sin_fix, cos_fix)
-            iacc = iacc + ic
-            qacc = qacc + qc
+            return iacc + ic, qacc + qc
+
+        iacc, qacc = jax.lax.fori_loop(
+            0, n_chan, body, (jnp.zeros((B, SB, SUBBLOCK), jnp.int32),
+                              jnp.zeros((B, SB, SUBBLOCK), jnp.int32)))
 
         # Reference rounding: (acc + 64) >> 7, truncating cast to int16.
         i16 = ((iacc + 64) >> 7).astype(jnp.int16).reshape(B, SB * SUBBLOCK)

@@ -86,7 +86,7 @@ def run_simulation(scn: Scenario, fp: BinaryIO, batch_epochs: int = 20,
     def flush(item):
         dev, valid = item
         host = np.asarray(dev)  # blocks until device work completes
-        host[:valid].tofile(fp)
+        fp.write(np.ascontiguousarray(host[:valid]).data)
 
     for seg in scn.segments:
         e = 0
