@@ -118,6 +118,40 @@ def _channel_contribution(c, code_s, code_p, carr_s, carr_p, t_base, m0, b0,
     return m * cos_v, m * sin_v
 
 
+def accumulate(code_s, code_p, carr_s, carr_p, t_base, m0, b0, navbits, gain,
+               ca_words, *, n_chan: int, sin_fix, cos_fix):
+    """Sum the int32 I/Q contributions of `n_chan` channels.
+
+    Returns (iacc, qacc), each [B, SB, SUBBLOCK] int32 — the accumulator of
+    gpssim.c:2208-2209 *before* the (acc+64)>>7 quantization. Exposed
+    separately so channel-sharded partial sums can be psum-reduced across
+    devices first (the reference sums all channels before quantizing,
+    gpssim.c:2192-2259, so reduction placement is correctness-relevant).
+    """
+    def body(c, accs):
+        iacc, qacc = accs
+        ic, qc = _channel_contribution(
+            c, code_s, code_p, carr_s, carr_p, t_base, m0, b0, navbits,
+            gain, ca_words, sin_fix, cos_fix)
+        return iacc + ic, qacc + qc
+
+    # Channel 0 seeds the carry (instead of jnp.zeros) so the accumulator
+    # inherits the inputs' varying-axes type under shard_map — a zeros init
+    # is device-invariant and jax rejects the fori_loop carry mismatch.
+    init = _channel_contribution(
+        0, code_s, code_p, carr_s, carr_p, t_base, m0, b0, navbits, gain,
+        ca_words, sin_fix, cos_fix)
+    return jax.lax.fori_loop(1, n_chan, body, init)
+
+
+def quantize_iq(iacc, qacc, n_out: int):
+    """Reference rounding (acc + 64) >> 7, truncating cast to int16."""
+    B, SB, _ = iacc.shape
+    i16 = ((iacc + 64) >> 7).astype(jnp.int16).reshape(B, SB * SUBBLOCK)
+    q16 = ((qacc + 64) >> 7).astype(jnp.int16).reshape(B, SB * SUBBLOCK)
+    return jnp.stack([i16, q16], axis=-1)[:, :n_out]
+
+
 @lru_cache(maxsize=None)
 def _get_synth_fn(n_out: int, n_chan: int, backend: str):
     sin_fix, cos_fix = _trig_corrections(backend)
@@ -125,23 +159,10 @@ def _get_synth_fn(n_out: int, n_chan: int, backend: str):
     @jax.jit
     def synth(code_s, code_p, carr_s, carr_p, t_base, m0, b0, navbits, gain,
               ca_words):
-        B, SB, C = t_base.shape
-
-        def body(c, accs):
-            iacc, qacc = accs
-            ic, qc = _channel_contribution(
-                c, code_s, code_p, carr_s, carr_p, t_base, m0, b0, navbits,
-                gain, ca_words, sin_fix, cos_fix)
-            return iacc + ic, qacc + qc
-
-        iacc, qacc = jax.lax.fori_loop(
-            0, n_chan, body, (jnp.zeros((B, SB, SUBBLOCK), jnp.int32),
-                              jnp.zeros((B, SB, SUBBLOCK), jnp.int32)))
-
-        # Reference rounding: (acc + 64) >> 7, truncating cast to int16.
-        i16 = ((iacc + 64) >> 7).astype(jnp.int16).reshape(B, SB * SUBBLOCK)
-        q16 = ((qacc + 64) >> 7).astype(jnp.int16).reshape(B, SB * SUBBLOCK)
-        return jnp.stack([i16, q16], axis=-1)[:, :n_out]
+        iacc, qacc = accumulate(
+            code_s, code_p, carr_s, carr_p, t_base, m0, b0, navbits, gain,
+            ca_words, n_chan=n_chan, sin_fix=sin_fix, cos_fix=cos_fix)
+        return quantize_iq(iacc, qacc, n_out)
 
     return synth
 

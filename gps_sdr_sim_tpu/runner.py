@@ -37,10 +37,27 @@ class RunStats:
     total_samples: int = 0
     wall_seconds: float = 0.0
     device_batches: int = 0
+    plan_seconds: float = 0.0   # host batch preparation (ops/plan.py)
+    fetch_seconds: float = 0.0  # blocked on device->host readback
+    write_seconds: float = 0.0  # file writes
 
     @property
     def samples_per_second(self) -> float:
         return self.total_samples / self.wall_seconds if self.wall_seconds else 0.0
+
+    def summary(self, samp_freq: float) -> dict:
+        """Structured run summary (SURVEY.md §5: observability contract)."""
+        return {
+            "total_samples": self.total_samples,
+            "device_batches": self.device_batches,
+            "wall_seconds": round(self.wall_seconds, 3),
+            "plan_seconds": round(self.plan_seconds, 3),
+            "fetch_seconds": round(self.fetch_seconds, 3),
+            "write_seconds": round(self.write_seconds, 3),
+            "samples_per_second": round(self.samples_per_second, 1),
+            "realtime_factor": round(
+                self.samples_per_second / samp_freq, 2) if samp_freq else 0.0,
+        }
 
 
 def _pad_batch(db: DeviceBatch, target_b: int) -> DeviceBatch:
@@ -65,13 +82,37 @@ def _pad_batch(db: DeviceBatch, target_b: int) -> DeviceBatch:
     return out
 
 
-def run_simulation(scn: Scenario, fp: BinaryIO, batch_epochs: int = 20,
-                   log: Optional[Callable[[str], None]] = None,
-                   impl: str = "pallas") -> RunStats:
-    """Synthesize the whole scenario into `fp`. Returns throughput stats.
+def iter_seg_batches(scn: Scenario, lo: int, hi: int, batch_epochs: int):
+    """Yield (segment, e0, e1) covering output epochs [lo, hi) in order.
+
+    Output epoch k (0-based) is synthesized by segment-local epoch
+    k - (first_epoch - 1) of the segment containing it; segments tile the
+    output range contiguously, so any sub-range — a shard for one host, a
+    resume after failure — maps to per-segment slices with no overlap.
+    """
+    for seg in scn.segments:
+        s0 = seg.first_epoch - 1
+        a, b = max(lo, s0), min(hi, s0 + seg.n_epochs)
+        e = a - s0
+        while e < b - s0:
+            step = min(batch_epochs, (b - s0) - e)
+            yield seg, e, e + step
+            e += step
+
+
+def run_epoch_range(scn: Scenario, fp: BinaryIO, lo: int, hi: int,
+                    batch_epochs: int = 20,
+                    log: Optional[Callable[[str], None]] = None,
+                    impl: str = "pallas", queue_depth: int = 4) -> RunStats:
+    """Synthesize output epochs [lo, hi) of `scn` into `fp`.
 
     impl: "pallas" (fused kernel + on-device rebase; the TPU fast path) or
     "xla" (pure jax.numpy kernel; correctness anchor, works everywhere).
+
+    queue_depth batches stay in flight with device->host copies started
+    eagerly (copy_to_host_async), so synthesis, the readback link, and the
+    file writes all overlap; the writer drains in order, preserving the
+    reference's sequential byte stream.
     """
     if log is None:
         log = lambda s: print(s, end="", file=sys.stderr, flush=True)
@@ -81,37 +122,55 @@ def run_simulation(scn: Scenario, fp: BinaryIO, batch_epochs: int = 20,
     stats = RunStats()
     t_start = time.time()
 
-    pending = None  # (device_array, valid_epochs)
+    from collections import deque
+
+    pending = deque()  # (device_array, valid_epochs), oldest first
 
     def flush(item):
         dev, valid = item
-        host = np.asarray(dev)  # blocks until device work completes
+        t0 = time.time()
+        host = np.asarray(dev)  # blocks until device work + copy complete
+        t1 = time.time()
         fp.write(np.ascontiguousarray(host[:valid]).data)
+        stats.fetch_seconds += t1 - t0
+        stats.write_seconds += time.time() - t1
 
-    for seg in scn.segments:
-        e = 0
-        while e < seg.n_epochs:
-            b = min(batch_epochs, seg.n_epochs - e)
-            if impl == "pallas":
-                eb = pad_epochs(plan_epochs(seg, e, e + b, scn.delt),
-                                batch_epochs)
-                iq = synth_pallas.synth_epochs(eb, n)  # async dispatch
-            else:
-                db = _pad_batch(plan_batch(seg, e, e + b, n, scn.delt),
-                                batch_epochs)
-                iq = synth_jnp.synth_batch(db, n)
-            out = pack(iq, fmt)
-            if pending is not None:
-                flush(pending)
-            pending = (out, b)
-            stats.device_batches += 1
-            stats.total_samples += b * n
-            e += b
-            t_into = (seg.first_epoch + e - 1) * 0.1
-            log(f"\rTime into run = {t_into:4.1f}")
+    for seg, e, e1 in iter_seg_batches(scn, lo, hi, batch_epochs):
+        b = e1 - e
+        t_plan = time.time()
+        if impl == "pallas":
+            eb = pad_epochs(plan_epochs(seg, e, e1, scn.delt),
+                            batch_epochs)
+            iq = synth_pallas.synth_epochs(eb, n)  # async dispatch
+        else:
+            db = _pad_batch(plan_batch(seg, e, e1, n, scn.delt),
+                            batch_epochs)
+            iq = synth_jnp.synth_batch(db, n)
+        out = pack(iq, fmt)
+        try:
+            out.copy_to_host_async()
+        except AttributeError:
+            pass
+        if len(pending) >= queue_depth:
+            flush(pending.popleft())
+        pending.append((out, b))
+        stats.device_batches += 1
+        stats.total_samples += b * n
+        stats.plan_seconds += time.time() - t_plan
+        t_into = (seg.first_epoch + e1 - 1) * 0.1
+        log(f"\rTime into run = {t_into:4.1f}")
 
-    if pending is not None:
-        flush(pending)
+    while pending:
+        flush(pending.popleft())
 
     stats.wall_seconds = time.time() - t_start
     return stats
+
+
+def run_simulation(scn: Scenario, fp: BinaryIO, batch_epochs: int = 20,
+                   log: Optional[Callable[[str], None]] = None,
+                   impl: str = "pallas", queue_depth: int = 4) -> RunStats:
+    """Synthesize the whole scenario into `fp`. Returns throughput stats."""
+    return run_epoch_range(scn, fp, 0, scn.n_output_epochs,
+                           batch_epochs=batch_epochs, log=log, impl=impl,
+                           queue_depth=queue_depth)

@@ -1,12 +1,19 @@
 import os
 
 # Tests run on CPU with a virtual 8-device mesh so sharding code paths are
-# exercised without TPU hardware. Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# exercised without TPU hardware. XLA_FLAGS must be set before the first
+# backend initialization; the platform choice additionally goes through
+# jax.config because a site customization may have imported jax (and baked
+# in JAX_PLATFORMS from the environment) before this conftest runs.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
