@@ -1,0 +1,81 @@
+"""ctypes bindings for the native playerfmt library (tools/playerfmt.cpp).
+
+Gives the Python framework direct access to the C++ sample-format
+conversions used by the playback tool chain (1-bit LUT expansion, 12-bit
+DAC rescaling, 16->8 narrowing) without spawning a subprocess. Build the
+library with `make -C tools` first; `available()` reports whether it (or a
+freshly built copy) can be loaded.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+from typing import Optional
+
+import numpy as np
+
+_LIB_PATH = (pathlib.Path(__file__).resolve().parents[2] / "tools"
+             / "libplayerfmt.so")
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.pf_expand_1bit.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int16,
+            ctypes.POINTER(ctypes.c_int16)]
+        lib.pf_shift16.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_size_t, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16)]
+        lib.pf_widen8.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_size_t, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16)]
+        lib.pf_narrow16to8.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_size_t, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int8)]
+        _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _LIB_PATH.exists()
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def expand_1bit(packed: np.ndarray, amplitude: int = 2047) -> np.ndarray:
+    """Packed SC01 bytes -> int16 interleaved I/Q at +-amplitude."""
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    out = np.empty(packed.size * 8, dtype=np.int16)
+    _load().pf_expand_1bit(packed.tobytes(), packed.size,
+                           amplitude, _ptr(out, ctypes.c_int16))
+    return out
+
+
+def shift16(values: np.ndarray, shift_right: int) -> np.ndarray:
+    values = np.ascontiguousarray(values, dtype=np.int16)
+    out = np.empty_like(values)
+    _load().pf_shift16(_ptr(values, ctypes.c_int16), values.size,
+                       shift_right, _ptr(out, ctypes.c_int16))
+    return out
+
+
+def widen8(values: np.ndarray, shift_left: int) -> np.ndarray:
+    values = np.ascontiguousarray(values, dtype=np.int8)
+    out = np.empty(values.size, dtype=np.int16)
+    _load().pf_widen8(_ptr(values, ctypes.c_int8), values.size,
+                      shift_left, _ptr(out, ctypes.c_int16))
+    return out
+
+
+def narrow16to8(values: np.ndarray, shift_right: int = 4) -> np.ndarray:
+    values = np.ascontiguousarray(values, dtype=np.int16)
+    out = np.empty(values.size, dtype=np.int8)
+    _load().pf_narrow16to8(_ptr(values, ctypes.c_int16), values.size,
+                           shift_right, _ptr(out, ctypes.c_int8))
+    return out

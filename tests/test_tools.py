@@ -1,0 +1,114 @@
+"""Native tool suite tests: build with `make -C tools`, then verify the
+format conversions against the Python/JAX implementations and the CLI
+contracts against the reference tools' behavior.
+"""
+
+import pathlib
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+TOOLS = pathlib.Path(__file__).parent.parent / "tools"
+DATA = pathlib.Path(__file__).parent.parent / "data"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def build_tools():
+    if shutil.which("g++") is None and shutil.which("c++") is None:
+        pytest.skip("no C++ compiler available")
+    subprocess.run(["make", "-C", str(TOOLS)], check=True,
+                   capture_output=True)
+
+
+def test_expand_1bit_roundtrip():
+    """C++ 1-bit expansion inverts the generator's SC01 packing."""
+    from gps_sdr_sim_tpu.ops.quantize import pack_sc01
+    from gps_sdr_sim_tpu.utils import playerfmt
+
+    rng = np.random.default_rng(7)
+    iq = rng.integers(-2000, 2000, size=(1, 256, 2), dtype=np.int16)
+    iq[iq == 0] = 1  # sign(0) packs as negative; keep the test unambiguous
+    packed = np.asarray(pack_sc01(iq)).reshape(-1)
+    expanded = playerfmt.expand_1bit(packed, amplitude=1000)
+    expect = np.where(iq.reshape(-1) > 0, 1000, -1000).astype(np.int16)
+    np.testing.assert_array_equal(expanded, expect)
+
+
+def test_rescale_matches_generator():
+    from gps_sdr_sim_tpu.utils import playerfmt
+
+    v = np.array([-32768, -4096, -17, -1, 0, 1, 15, 4095, 32767],
+                 dtype=np.int16)
+    np.testing.assert_array_equal(playerfmt.shift16(v, 4), v >> 4)
+    # 16->8 narrowing is the generator's own SC08 rule (gpssim.c:2278-2284).
+    np.testing.assert_array_equal(playerfmt.narrow16to8(v, 4),
+                                  (v >> 4).astype(np.int8))
+    b = np.array([-128, -1, 0, 1, 127], dtype=np.int8)
+    np.testing.assert_array_equal(playerfmt.widen8(b, 4),
+                                  b.astype(np.int16) << 4)
+
+
+def test_player_file_backend_16bit_passthrough(tmp_path):
+    rng = np.random.default_rng(3)
+    data = rng.integers(-3000, 3000, size=100000, dtype=np.int16)
+    src = tmp_path / "in.bin"
+    src.write_bytes(data.tobytes())
+    dst = tmp_path / "out.bin"
+    subprocess.run([str(TOOLS / "gps-sdr-player"), "-f", str(src), "-b",
+                    "16", "-n", "4096", "-o", str(dst)], check=True,
+                   capture_output=True)
+    out = np.frombuffer(dst.read_bytes(), dtype=np.int16)
+    # Trailing block is zero-padded to the buffer size (bladeplayer.c:262):
+    # 100,000 values in 4096-sample (8192-value) buffers -> 13 blocks.
+    assert out.size == 13 * 8192
+    np.testing.assert_array_equal(out[:data.size], data)
+    assert not out[data.size:].any()
+
+
+def test_player_1bit_expansion(tmp_path):
+    src = tmp_path / "in.bin"
+    src.write_bytes(bytes([0b10110001]))
+    dst = tmp_path / "out.bin"
+    subprocess.run([str(TOOLS / "gps-sdr-player"), "-f", str(src), "-b", "1",
+                    "-a", "1000", "-n", "4", "-o", str(dst)], check=True,
+                   capture_output=True)
+    out = np.frombuffer(dst.read_bytes(), dtype=np.int16)
+    np.testing.assert_array_equal(
+        out, [1000, -1000, 1000, 1000, -1000, -1000, -1000, 1000])
+
+
+def test_nmea2um_matches_python(tmp_path):
+    """C++ nmea2um agrees with the Python NMEA reader on the bundled log."""
+    from gps_sdr_sim_tpu.models.trajectory import read_nmea_gga
+
+    out = tmp_path / "um.csv"
+    subprocess.run([str(TOOLS / "nmea2um"), str(DATA / "triumphv3.txt"),
+                    str(out)], check=True, capture_output=True)
+    rows = np.loadtxt(out, delimiter=",")
+    ref = read_nmea_gga(str(DATA / "triumphv3.txt"), 10000)
+    assert rows.shape[0] == ref.shape[0]
+    np.testing.assert_allclose(rows[:, 0], 0.1 * np.arange(rows.shape[0]),
+                               atol=1e-9)
+    # Output is printed at millimeter resolution (%12.3f).
+    np.testing.assert_allclose(rows[:, 1:], ref, atol=5e-4)
+
+
+def test_iqcompare(tmp_path):
+    a = np.arange(-500, 500, dtype=np.int16)
+    pa, pb = tmp_path / "a.bin", tmp_path / "b.bin"
+    pa.write_bytes(a.tobytes())
+    pb.write_bytes(a.tobytes())
+    r = subprocess.run([str(TOOLS / "iqcompare"), "-b", "16", str(pa),
+                        str(pb)], capture_output=True, text=True)
+    assert r.returncode == 0 and '"pass": true' in r.stdout
+
+    b = a.copy()
+    b[10] += 100  # one full-scale error must fail the default thresholds
+    pb.write_bytes(b.tobytes())
+    r = subprocess.run([str(TOOLS / "iqcompare"), "-b", "16", "--max-big",
+                        "0", str(pa), str(pb)], capture_output=True,
+                       text=True)
+    assert r.returncode == 1 and '"pass": false' in r.stdout
+    assert '"max_delta": 100' in r.stdout
