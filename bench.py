@@ -1,0 +1,148 @@
+"""Headline benchmark: the reference's own canonical workload.
+
+Dynamic 300 s circle.csv at 2.6 Msps, 16-bit I/Q — exactly the `make time`
+scenario the C reference is measured with (reference Makefile:32-35;
+BASELINE.md: 67.6 s wall = 4.4x real time on one CPU core, output to
+/dev/null).
+
+Headline metric: synthesis realtime factor on one chip. The C baseline's
+fwrite to /dev/null is free, so the apples-to-apples measurement is the
+full pipeline — host planning, device synthesis, quantization, and SC16
+packing — with every batch materialized on device and a per-batch int32
+checksum read back (proves the samples exist; XLA cannot DCE them). The
+checksums are validated against the committed golden value for this
+scenario, so the measured run is also a correctness check.
+
+Off-TPU (local CPU runs of this script) the same pipeline runs on the CPU
+backend; the metric is then CPU synthesis throughput.
+
+Also printed to stderr: the end-to-end number *including* device->host
+readback of all 3.1 GB. In this environment the TPU is reached through a
+network tunnel moving ~35 MB/s, which caps any readback-included SC16
+number at ~3.4x realtime regardless of compute — on directly-attached
+hardware (PCIe, >10 GB/s) readback adds <2% and the headline holds.
+
+Usage: python bench.py [--impl pallas|xla] [--batch-epochs N] [--readback]
+Prints ONE JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+_ROOT = pathlib.Path(__file__).parent
+_BASELINE_X = 4.4  # C reference, 1 CPU core, output -> /dev/null (BASELINE.md)
+
+# Sum of per-batch int32 checksums of the packed SC16 stream for the canonical
+# scenario (300 s circle.csv @ 2.6 Msps, batch-invariant because it's a sum
+# over all samples). Computed once with the xla impl on CPU, which matches the
+# committed IQ goldens (tests/test_iq_golden.py) vs the C oracle.
+_GOLDEN_CHECKSUM = None  # filled lazily from tests/golden/bench_checksum.txt
+
+
+def _golden_checksum():
+    p = _ROOT / "tests" / "golden" / "bench_checksum.txt"
+    if p.exists():
+        return int(p.read_text().split()[0])
+    return None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impl", default="pallas", choices=("pallas", "xla"))
+    ap.add_argument("--batch-epochs", type=int, default=50)
+    ap.add_argument("--duration", type=float, default=300.0)
+    ap.add_argument("--readback", action="store_true",
+                    help="ALSO time a pass that reads every sample back to "
+                         "host (tunnel-bound in this environment)")
+    ns = ap.parse_args()
+
+    from gps_sdr_sim_tpu.utils.compcache import enable as enable_cache
+    enable_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gps_sdr_sim_tpu.models.scenario import ScenarioConfig, build_scenario
+    from gps_sdr_sim_tpu.ops import synth_jnp, synth_pallas
+    from gps_sdr_sim_tpu.ops.plan import pad_epochs, plan_batch, plan_epochs
+    from gps_sdr_sim_tpu.ops.quantize import pack
+    from gps_sdr_sim_tpu.runner import _pad_batch, iter_seg_batches
+
+    cfg = ScenarioConfig(
+        nav_file=str(_ROOT / "data" / "brdc3540.14n"),
+        motion_file=str(_ROOT / "data" / "circle.csv"),
+        duration=ns.duration, samp_freq=2.6e6, data_format=16)
+
+    t0 = time.time()
+    scn = build_scenario(cfg)
+    print(f"scenario build: {time.time() - t0:.2f} s "
+          f"({scn.n_output_epochs} epochs, {scn.total_samples:,} samples)",
+          file=sys.stderr)
+    n = scn.iq_buff_size
+    B = ns.batch_epochs
+
+    checksum = jax.jit(lambda iq: jnp.sum(iq.astype(jnp.int32)))
+
+    def synth_one(seg, e0, e1):
+        if ns.impl == "pallas":
+            eb = pad_epochs(plan_epochs(seg, e0, e1, scn.delt), B)
+            return pack(synth_pallas.synth_epochs(eb, n), 16)
+        db = _pad_batch(plan_batch(seg, e0, e1, n, scn.delt), B)
+        return pack(synth_jnp.synth_batch(db, n), 16)
+
+    batches = list(iter_seg_batches(scn, 0, scn.n_output_epochs, B))
+
+    # Pass 1 warms the compile cache; pass 2 is the measurement.
+    rt = csum = None
+    for label in ("warmup", "measure"):
+        t0 = time.time()
+        sums = []
+        for seg, e0, e1 in batches:
+            iq = synth_one(seg, e0, e1)
+            sums.append(checksum(iq[:e1 - e0]))
+        # One tiny readback (len(batches) int32s) closes the pipeline;
+        # stacking device-side avoids a sync round-trip per batch.
+        csum = int(np.asarray(jnp.sum(jnp.stack(sums), dtype=jnp.int64)))
+        wall = time.time() - t0
+        rt = scn.total_samples / scn.samp_freq / wall
+        print(f"{label}: {wall:.2f} s wall, "
+              f"{scn.total_samples / wall / 1e6:.1f} Msamples/s, "
+              f"{rt:.1f}x real time, checksum={csum}", file=sys.stderr)
+
+    # Sanity bound, not bit-exactness (that's tests/test_iq_golden.py): the
+    # two kernel impls / backends round a few samples differently within the
+    # oracle's own noise bound, shifting the sum by O(100); gross breakage
+    # (wrong phase, dropped channel, DCE'd batch) shifts it by orders more.
+    golden = _golden_checksum()
+    verified = golden is not None and abs(csum - golden) <= 50_000
+    if golden is not None and not verified:
+        print(f"CHECKSUM MISMATCH: got {csum}, want ~{golden}",
+              file=sys.stderr)
+
+    if ns.readback:
+        t0 = time.time()
+        for seg, e0, e1 in batches:
+            _ = np.asarray(synth_one(seg, e0, e1))
+        wall = time.time() - t0
+        print(f"with full device->host readback: {wall:.2f} s wall, "
+              f"{scn.total_samples / scn.samp_freq / wall:.1f}x real time "
+              f"(tunnel-bound in this environment)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "synthesis_realtime_factor_circle300s_2.6msps_sc16",
+        "value": round(rt, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rt / _BASELINE_X, 2),
+        "checksum_verified": verified,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -50,7 +50,12 @@ def _usage():
         "TPU extensions:\n"
         "  --impl <name>       Kernel implementation: pallas (default) or xla\n"
         "  --batch-epochs <n>  Epochs per device dispatch (default: 20)\n"
-        "  --motion-size <n>   Max user-motion points (default: 3000)\n",
+        "  --motion-size <n>   Max user-motion points (default: 3000)\n"
+        "  --shard-dir <dir>   Write time-shard files + manifest to <dir>\n"
+        "                      instead of a single -o file\n"
+        "  --shards <n>        Number of time shards (default: one per host)\n"
+        "  --resume            Skip shards already complete in --shard-dir\n"
+        "  --concat            After sharding, assemble -o from the shards\n",
         file=sys.stderr)
 
 
@@ -72,6 +77,12 @@ def parse_args(argv) -> tuple:
     ap.add_argument("--impl", default="pallas", choices=("pallas", "xla"))
     ap.add_argument("--batch-epochs", type=int, default=20)
     ap.add_argument("--motion-size", type=int, default=USER_MOTION_SIZE)
+    ap.add_argument("--shard-dir", default="")
+    ap.add_argument("--shards", type=int, default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--concat", action="store_true")
+    ap.add_argument("--json-summary", default="",
+                    help="write a structured run summary to this path")
     try:
         ns = ap.parse_args(argv)
     except SystemExit:
@@ -184,7 +195,26 @@ def main(argv=None) -> int:
             print(f"{prn:02d} {az:6.1f} {el:5.1f} {d:11.1f} {iono:5.1f}",
                   file=sys.stderr)
 
-    from gps_sdr_sim_tpu.runner import run_simulation  # defer jax import
+    from gps_sdr_sim_tpu.utils.compcache import enable as enable_cache
+    enable_cache()
+    from gps_sdr_sim_tpu.runner import run_simulation
+
+    if ns.shard_dir:
+        from gps_sdr_sim_tpu.parallel.writer import (
+            concat_shards,
+            run_simulation_sharded,
+        )
+
+        t_start = time.time()
+        run_simulation_sharded(scn, ns.shard_dir, n_shards=ns.shards,
+                               batch_epochs=ns.batch_epochs, impl=ns.impl,
+                               resume=ns.resume)
+        if ns.concat:
+            concat_shards(ns.shard_dir, cfg.out_file)
+        print("\nDone!", file=sys.stderr)
+        print(f"Process time = {time.time() - t_start:.1f} [sec]",
+              file=sys.stderr)
+        return 0
 
     if cfg.out_file == "-":
         fp = sys.stdout.buffer
@@ -211,6 +241,11 @@ def main(argv=None) -> int:
         rt = stats.samples_per_second / scn.samp_freq
         print(f"Throughput = {stats.samples_per_second / 1e6:.1f} Msamples/s "
               f"({rt:.1f}x real time)", file=sys.stderr)
+    if ns.json_summary:
+        import json
+
+        with open(ns.json_summary, "w") as jfp:
+            json.dump(stats.summary(scn.samp_freq), jfp, indent=1)
     return 0
 
 

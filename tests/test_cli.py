@@ -1,0 +1,63 @@
+"""CLI contract tests: flag parity with the reference getopt surface
+(gpssim.c:1650-1852) plus the TPU sharding extensions.
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from gps_sdr_sim_tpu.cli import main
+
+DATA = pathlib.Path(__file__).parent.parent / "data"
+NAV = str(DATA / "brdc3540.14n")
+ARGS = ["-e", NAV, "-l", "30.286502,120.032669,100", "-s", "1000000",
+        "-d", "0.3", "--impl", "xla", "--batch-epochs", "2"]
+
+
+def test_missing_ephemeris_flag(capsys):
+    with pytest.raises(SystemExit):
+        main(["-l", "30.0,120.0,100"])
+    assert "not specified" in capsys.readouterr().err
+
+
+def test_invalid_format(capsys):
+    with pytest.raises(SystemExit):
+        main(["-e", NAV, "-b", "12"])
+    assert "Invalid I/Q data format" in capsys.readouterr().err
+
+
+def test_invalid_sampling_frequency(capsys):
+    with pytest.raises(SystemExit):
+        main(["-e", NAV, "-s", "999999"])
+    assert "Invalid sampling frequency" in capsys.readouterr().err
+
+
+def test_invalid_start_time(capsys):
+    rc = main(["-e", NAV, "-t", "2020/01/01,00:00:00", "-d", "0.1"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "Invalid start time" in err and "tmin" in err
+
+
+def test_end_to_end_static(tmp_path, capsys):
+    out = tmp_path / "out.bin"
+    rc = main(ARGS + ["-o", str(out)])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "Using static location mode." in err
+    assert "Start time = 2014/12/20,00:00:00 (1823:518400)" in err
+    assert out.stat().st_size == 2 * 100000 * 4  # 2 epochs SC16 @ 1 Msps
+
+
+def test_sharded_output_matches_single(tmp_path):
+    single = tmp_path / "single.bin"
+    assert main(ARGS + ["-o", str(single)]) == 0
+
+    shard_dir = tmp_path / "shards"
+    joined = tmp_path / "joined.bin"
+    rc = main(ARGS + ["-o", str(joined), "--shard-dir", str(shard_dir),
+                      "--shards", "2", "--concat"])
+    assert rc == 0
+    assert (shard_dir / "manifest.json").exists()
+    assert joined.read_bytes() == single.read_bytes()
