@@ -1,0 +1,38 @@
+"""Backend capability probe for the receiver's complex-valued math.
+
+Acquisition and tracking use complex64 (FFT correlation, carrier wipe).
+Standard TPU XLA decomposes complex arithmetic; some experimental PJRT
+backends (e.g. the tunneled single-chip 'axon' platform) reject complex
+dtypes outright. The receiver is the framework's validation path, not its
+throughput path, so when the default backend can't do complex we pin the
+receiver's programs to the host CPU backend instead of failing.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _complex_supported() -> bool:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if jax.default_backend() == "cpu":
+        return True
+    try:
+        np.asarray(jnp.zeros((2,), jnp.complex64) + 1j)
+        return True
+    except Exception:
+        return False
+
+
+def rx_device():
+    """Context manager placing receiver programs on a complex-capable device."""
+    import jax
+
+    if _complex_supported():
+        return contextlib.nullcontext()
+    return jax.default_device(jax.local_devices(backend="cpu")[0])

@@ -1,0 +1,125 @@
+"""End-to-end loop closure: synthesize -> acquire -> track -> decode.
+
+The software equivalent of the reference's hardware receiver validation
+(SURVEY.md §4: u-center/ublox screenshots, rtk/ RTKLIB datasets): the
+synthesized IQ stream must be acquirable, trackable, and its 50 bps nav
+message must decode — parity-clean — to exactly the bits the scenario
+encoder transmitted.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from gps_sdr_sim_tpu.constants import R2D
+from gps_sdr_sim_tpu.models.scenario import ScenarioConfig, build_scenario
+from gps_sdr_sim_tpu.receiver import (acquire, bit_sync, decode_bits,
+                                      frame_sync, load_iq, track)
+from gps_sdr_sim_tpu.runner import run_simulation
+from gps_sdr_sim_tpu.utils.coord import llh2xyz
+
+FS = 2.048e6
+DURATION = 7.6  # covers one full subframe even after pull-in + prop delay
+
+TOKYO = llh2xyz(np.array([35.681298 / R2D, 139.766247 / R2D, 10.0]))
+
+
+@pytest.fixture(scope="module")
+def scenario():
+    cfg = ScenarioConfig(nav_file="data/brdc3540.14n", static_xyz=TOKYO,
+                         duration=DURATION, samp_freq=FS, data_format=16)
+    return build_scenario(cfg)
+
+
+@pytest.fixture(scope="module")
+def iq(scenario):
+    buf = io.BytesIO()
+    run_simulation(scenario, buf, batch_epochs=16, impl="xla",
+                   log=lambda s: None)
+    return load_iq(buf.getvalue(), 16)
+
+
+@pytest.fixture(scope="module")
+def acq(iq):
+    return acquire(iq, FS, dopp_step=50.0, n_blocks=4)
+
+
+def test_acquisition_finds_exactly_the_visible_sats(scenario, acq):
+    seg = scenario.segments[0]
+    visible = set(int(p) for p in seg.prn[seg.active])
+    detected = set(a.prn for a in acq if a.detected)
+    assert detected == visible
+
+
+def test_acquired_doppler_matches_plan(scenario, acq):
+    seg = scenario.segments[0]
+    planned = {int(p): f for p, f in zip(seg.prn, seg.f_carr[0])
+               if p > 0}
+    for a in acq:
+        if a.detected:
+            # Fine stage: FFT over 16 ms -> a few Hz of resolution.
+            assert abs(a.doppler - planned[a.prn]) < 15.0, a
+
+
+@pytest.fixture(scope="module")
+def tracked(iq, acq):
+    return track(iq, FS, acq)
+
+
+def test_tracking_converges_to_planned_doppler(scenario, tracked):
+    seg = scenario.segments[0]
+    last_epoch = seg.n_epochs - 1
+    planned = {int(p): f for p, f in zip(seg.prn, seg.f_carr[last_epoch])
+               if p > 0}
+    for c, prn in enumerate(tracked.prns):
+        assert abs(tracked.doppler[-1, c] - planned[int(prn)]) < 5.0, prn
+
+
+def test_nav_message_decodes_bit_exact(scenario, tracked):
+    seg = scenario.segments[0]
+    bits_by_prn = {int(p): ((b + 1) // 2).astype(np.int8)
+                   for p, b in zip(seg.prn, seg.bits) if p > 0}
+
+    decoded_any = 0
+    for c, prn in enumerate(tracked.prns):
+        p = tracked.prompt[:, c]
+        off = bit_sync(p)
+        bits = decode_bits(p, off)
+        sbfs = frame_sync(bits)
+        assert sbfs, f"PRN {prn}: no parity-valid subframe decoded"
+        tx = bits_by_prn[int(prn)]
+        for sbf in sbfs:
+            # The decoded 300 bits must appear verbatim in the transmitted
+            # 1800-bit stream of this channel — in either polarity (the
+            # Costas 180-degree ambiguity is invisible to parity/decode).
+            tx_str = "".join(map(str, tx))
+            got = "".join(map(str, sbf.bits))
+            inv = "".join(map(str, 1 - sbf.bits))
+            assert got in tx_str or inv in tx_str, \
+                f"PRN {prn}: decoded bits not transmitted"
+            assert sbf.tow_sec % 6.0 == 0.0
+            if sbf.week is not None:
+                assert sbf.week == 1823 % 1024  # start week from the oracle
+            decoded_any += 1
+    assert decoded_any >= len(tracked.prns)
+
+
+def test_frontend_roundtrip_formats():
+    import jax.numpy as jnp
+
+    from gps_sdr_sim_tpu.ops.quantize import pack
+
+    rng = np.random.default_rng(0)
+    iq = rng.integers(-2000, 2000, size=(1, 64, 2)).astype(np.int16)
+
+    x16 = load_iq(np.asarray(pack(jnp.asarray(iq), 16)).tobytes(), 16)
+    assert np.array_equal(x16.real, iq[0, :, 0].astype(np.float32))
+    assert np.array_equal(x16.imag, iq[0, :, 1].astype(np.float32))
+
+    x8 = load_iq(np.asarray(pack(jnp.asarray(iq), 8)).tobytes(), 8)
+    assert np.array_equal(x8.real, (iq[0, :, 0] >> 4).astype(np.float32))
+
+    x1 = load_iq(np.asarray(pack(jnp.asarray(iq), 1)).tobytes(), 1)
+    assert np.array_equal(x1.real, np.where(iq[0, :, 0] > 0, 1.0, -1.0))
+    assert np.array_equal(x1.imag, np.where(iq[0, :, 1] > 0, 1.0, -1.0))
