@@ -55,7 +55,10 @@ def _usage():
         "                      instead of a single -o file\n"
         "  --shards <n>        Number of time shards (default: one per host)\n"
         "  --resume            Skip shards already complete in --shard-dir\n"
-        "  --concat            After sharding, assemble -o from the shards\n",
+        "  --concat            After sharding, assemble -o from the shards\n"
+        "  --multihost <spec>  coord_addr:port,process_id,num_processes —\n"
+        "                      join a multi-host run over DCN\n"
+        "  --profile <dir>     Write a jax.profiler trace of the run\n",
         file=sys.stderr)
 
 
@@ -83,6 +86,12 @@ def parse_args(argv) -> tuple:
     ap.add_argument("--concat", action="store_true")
     ap.add_argument("--json-summary", default="",
                     help="write a structured run summary to this path")
+    ap.add_argument("--multihost", default="", metavar="COORD:PORT,ID,N",
+                    help="join a multi-host run: coordinator address, this "
+                         "process's index, total process count "
+                         "(jax.distributed over DCN)")
+    ap.add_argument("--profile", default="", metavar="DIR",
+                    help="write a jax.profiler trace of the run to DIR")
     try:
         ns = ap.parse_args(argv)
     except SystemExit:
@@ -197,6 +206,42 @@ def main(argv=None) -> int:
 
     from gps_sdr_sim_tpu.utils.compcache import enable as enable_cache
     enable_cache()
+    from gps_sdr_sim_tpu.runner import run_simulation
+
+    if ns.multihost:
+        # Join the DCN coordination service; each process then writes its
+        # own disjoint time-shards (parallel/writer.py interleaves shards
+        # by process index), so --multihost implies --shard-dir output.
+        import jax
+
+        try:
+            coord, pid, nproc = ns.multihost.rsplit(",", 2)
+            jax.distributed.initialize(coordinator_address=coord,
+                                       num_processes=int(nproc),
+                                       process_id=int(pid))
+        except (ValueError, RuntimeError) as e:
+            _err(f"Invalid --multihost spec or coordination failure: {e}")
+        if not ns.shard_dir:
+            _err("--multihost requires --shard-dir (per-host shard files).")
+
+    profiler = None
+    if ns.profile:
+        import jax
+
+        jax.profiler.start_trace(ns.profile)
+        profiler = ns.profile
+
+    try:
+        return _run(ns, cfg, scn)
+    finally:
+        if profiler is not None:
+            import jax
+
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {profiler}", file=sys.stderr)
+
+
+def _run(ns, cfg, scn) -> int:
     from gps_sdr_sim_tpu.runner import run_simulation
 
     if ns.shard_dir:

@@ -6,6 +6,7 @@ contracts against the reference tools' behavior.
 import pathlib
 import shutil
 import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -112,3 +113,20 @@ def test_iqcompare(tmp_path):
                        text=True)
     assert r.returncode == 1 and '"pass": false' in r.stdout
     assert '"max_delta": 100' in r.stdout
+
+
+def test_uhd_player_file_sink(tmp_path):
+    """uhd_player --sink must emit the exact fc32 stream the DAC would get."""
+    rng = np.random.default_rng(3)
+    iq = rng.integers(-2047, 2047, size=256, dtype=np.int16)
+    src = tmp_path / "sim.bin"
+    src.write_bytes(iq.tobytes())
+    out = tmp_path / "dac.fc32"
+    subprocess.run(
+        [sys.executable, str(TOOLS / "uhd_player.py"), "-t", str(src),
+         "-b", "16", "--no-repeat", "--sink", str(out)],
+        check=True, capture_output=True)
+    got = np.frombuffer(out.read_bytes(), np.complex64)
+    want = (iq.astype(np.float32).reshape(-1, 2) / 2048.0)
+    np.testing.assert_array_equal(got.real, want[:, 0])
+    np.testing.assert_array_equal(got.imag, want[:, 1])
