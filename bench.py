@@ -54,7 +54,7 @@ def _golden_checksum():
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--impl", default="pallas", choices=("pallas", "xla"))
-    ap.add_argument("--batch-epochs", type=int, default=50)
+    ap.add_argument("--batch-epochs", type=int, default=100)
     ap.add_argument("--duration", type=float, default=300.0)
     ap.add_argument("--readback", action="store_true",
                     help="ALSO time a pass that reads every sample back to "

@@ -39,7 +39,7 @@ _P_NAVBITS = 15
 _P_GAIN = 16
 PARAM_LANES = 32
 
-_TILE_ROWS = 8
+_TILE_ROWS = 16
 _INV1023 = np.float32(1.0 / 1023.0)
 
 
@@ -175,6 +175,10 @@ def _get_pallas_fn(n_chan: int):
                 jax.ShapeDtypeStruct((rows, SUBBLOCK), jnp.int16),
                 jax.ShapeDtypeStruct((rows, SUBBLOCK), jnp.int16),
             ),
+            # Row tiles are independent: let Mosaic split the grid across
+            # Megacore TensorCores where the chip has them.
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
             interpret=_interpret(),
         )(params, ca_words)
 
