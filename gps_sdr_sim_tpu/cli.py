@@ -169,6 +169,22 @@ def main(argv=None) -> int:
         _usage()
         return 1
     ns = parse_args(argv)
+
+    if ns.multihost:
+        # Must run before ANY jax call that initializes the XLA backend
+        # (importing the kernels is already too late). Each process then
+        # writes its own disjoint time-shards over DCN coordination.
+        import jax
+
+        try:
+            coord, pid, nproc = ns.multihost.rsplit(",", 2)
+            jax.distributed.initialize(coordinator_address=coord,
+                                       num_processes=int(nproc),
+                                       process_id=int(pid))
+        except (ValueError, RuntimeError) as e:
+            _err(f"Invalid --multihost spec or coordination failure: {e}")
+        if not ns.shard_dir:
+            _err("--multihost requires --shard-dir (per-host shard files).")
     cfg = build_config(ns)
 
     if cfg.static_xyz is not None or (not cfg.motion_file
@@ -207,22 +223,6 @@ def main(argv=None) -> int:
     from gps_sdr_sim_tpu.utils.compcache import enable as enable_cache
     enable_cache()
     from gps_sdr_sim_tpu.runner import run_simulation
-
-    if ns.multihost:
-        # Join the DCN coordination service; each process then writes its
-        # own disjoint time-shards (parallel/writer.py interleaves shards
-        # by process index), so --multihost implies --shard-dir output.
-        import jax
-
-        try:
-            coord, pid, nproc = ns.multihost.rsplit(",", 2)
-            jax.distributed.initialize(coordinator_address=coord,
-                                       num_processes=int(nproc),
-                                       process_id=int(pid))
-        except (ValueError, RuntimeError) as e:
-            _err(f"Invalid --multihost spec or coordination failure: {e}")
-        if not ns.shard_dir:
-            _err("--multihost requires --shard-dir (per-host shard files).")
 
     profiler = None
     if ns.profile:

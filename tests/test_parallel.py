@@ -112,3 +112,20 @@ def test_shard_resume_regenerates_missing(tmp_path):
     assert victim.read_bytes() == good
     # The intact shard was not rewritten.
     assert (out_dir / "shard_00000.bin").stat().st_mtime_ns == mtime0
+
+
+def test_epoch_range_split_anywhere_bitexact(scenario):
+    """[0,N) in one go == [0,k) + [k,N) for any split and batch size."""
+    from gps_sdr_sim_tpu.runner import run_epoch_range
+
+    n = scenario.n_output_epochs
+    whole = io.BytesIO()
+    run_simulation(scenario, whole, batch_epochs=20, log=lambda s: None,
+                   impl="xla")
+    for k, be in ((1, 3), (n // 2, 7), (n - 1, 20)):
+        parts = io.BytesIO()
+        run_epoch_range(scenario, parts, 0, k, batch_epochs=be,
+                        log=lambda s: None, impl="xla")
+        run_epoch_range(scenario, parts, k, n, batch_epochs=be,
+                        log=lambda s: None, impl="xla")
+        assert parts.getvalue() == whole.getvalue(), (k, be)
