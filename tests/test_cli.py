@@ -61,3 +61,15 @@ def test_sharded_output_matches_single(tmp_path):
     assert rc == 0
     assert (shard_dir / "manifest.json").exists()
     assert joined.read_bytes() == single.read_bytes()
+
+
+def test_satellite_trajectory_motion_size(tmp_path, capsys):
+    """satellite.csv has 3,001 rows: needs the runtime --motion-size knob
+    (the reference requires recompiling with USER_MOTION_SIZE, gpssim.h:19)."""
+    out = tmp_path / "sat.bin"
+    rc = main(["-e", NAV, "-u", "data/satellite.csv", "-i", "-d", "0.4",
+               "-s", "1000000", "--impl", "xla", "--batch-epochs", "2",
+               "--motion-size", "4000", "-o", str(out)])
+    assert rc == 0
+    # numd-1 output epochs, like the reference (300 s circle -> 2999).
+    assert out.stat().st_size == 3 * 100000 * 4
