@@ -27,6 +27,9 @@ def main(argv=None) -> int:
                     help="seconds of signal for acquisition")
     ap.add_argument("--track", type=float, default=0.0, metavar="SECONDS",
                     help="track + decode this many seconds")
+    ap.add_argument("--pvt", action="store_true",
+                    help="solve a position fix from the decoded ephemerides "
+                         "(needs >=19 s of signal for subframes 1-3)")
     ap.add_argument("--dopp-step", type=float, default=50.0)
     ns = ap.parse_args(argv)
 
@@ -58,6 +61,23 @@ def main(argv=None) -> int:
                              if s.week is not None) or "-"
             print(f"{prn:3d}  {res.doppler[-1, c]:+10.1f}  {len(sbfs):9d}"
                   f"  {tows:12s}  {weeks}")
+
+        if ns.pvt:
+            from gps_sdr_sim_tpu.constants import R2D
+            from gps_sdr_sim_tpu.receiver.pvt import observables, solve
+            from gps_sdr_sim_tpu.utils.coord import xyz2llh
+
+            obs = observables(res)
+            sol = solve(obs)
+            llh = xyz2llh(sol.xyz)
+            print(f"\nPVT fix ({sol.n_sats} sats, {sol.iterations} iter):")
+            print(f"  ECEF  {sol.xyz[0]:.2f} {sol.xyz[1]:.2f} "
+                  f"{sol.xyz[2]:.2f}")
+            print(f"  LLH   {llh[0] * R2D:.6f} {llh[1] * R2D:.6f} "
+                  f"{llh[2]:.1f}")
+            print(f"  clock bias {sol.clock_bias * 1e3:.3f} ms, "
+                  f"max residual "
+                  f"{float(np.max(np.abs(sol.residuals))):.2f} m")
     return 0
 
 

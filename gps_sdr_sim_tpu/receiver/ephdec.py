@@ -1,0 +1,128 @@
+"""Decode broadcast ephemeris from received subframes 1-3.
+
+Exact inverse of the encoder (models/navmsg.py::eph2sbf; reference
+gpssim.c:490-665): unpacks the ICD-GPS-200 bit fields and applies the
+POW2_M* scalings, reconstructing an `Ephemeris` usable by models/orbit.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import math
+import numpy as np
+
+from gps_sdr_sim_tpu.constants import (GM_EARTH, OMEGA_EARTH, PI, POW2_M5,
+                                       POW2_M19, POW2_M29, POW2_M31,
+                                       POW2_M33, POW2_M43, POW2_M55)
+from gps_sdr_sim_tpu.models.ephemeris import Ephemeris
+from gps_sdr_sim_tpu.receiver.navdec import Subframe
+from gps_sdr_sim_tpu.utils.gpstime import GpsTime
+
+
+def _s(val: int, bits: int) -> int:
+    """Two's-complement sign extension."""
+    return val - (1 << bits) if val & (1 << (bits - 1)) else val
+
+
+# Decoded field = raw * scale * (1 + 2^-48). The reference's POW2_M*
+# constants are truncated decimal literals a few ulps away from the exact
+# powers of two; without the bias, re-encoding (eph2sbf's trunc(x / c))
+# can land at raw-1 when the literal sits above the true power. 2^-48
+# relative (~nanometers on any orbit quantity) keeps trunc() exact for all
+# field widths (<= 32 bits) and both signs.
+_BIAS = 1.0 + 2.0 ** -48
+
+
+def _q(raw: int, *scales: float) -> float:
+    v = float(raw) * _BIAS
+    for s in scales:
+        v *= s
+    return v
+
+
+def _data24(sbf: Subframe) -> np.ndarray:
+    """The 10 de-inverted 24-bit data fields of a parity-valid subframe."""
+    words = sbf.words.astype(np.int64)
+    d30s = np.concatenate(([0], words[:-1] & 1))  # word 1's D30* is bits[p-1]
+    # frame_sync validated parity, which includes the D30* of the word
+    # before the subframe; within the subframe the chain is words[:-1].
+    d = (words & 0x3FFFFFC0) ^ np.where(d30s == 1, 0x3FFFFFC0, 0)
+    return (d >> 6) & 0xFFFFFF
+
+
+def decode_ephemeris(sbf1: Subframe, sbf2: Subframe, sbf3: Subframe,
+                     d30_before_sbf1: int = 0) -> Ephemeris:
+    """Assemble an Ephemeris from decoded subframes 1, 2, 3.
+
+    `d30_before_sbf1`: D30* of the word preceding subframe 1's TLM (bit
+    p-1 in the stream), needed to de-invert word 1; navdec stores it
+    implicitly by validating parity, and word 1 carries no ephemeris
+    fields, so the default is fine.
+    """
+    assert (sbf1.sbf_id, sbf2.sbf_id, sbf3.sbf_id) == (1, 2, 3)
+    d1, d2, d3 = _data24(sbf1), _data24(sbf2), _data24(sbf3)
+
+    e = Ephemeris()
+    e.vflg = 1
+
+    # --- subframe 1 (eph2sbf words 3, 7, 8, 9, 10) ---
+    wn = int(d1[2] >> 14) & 0x3FF
+    e.codeL2 = int(d1[2] >> 12) & 0x3
+    e.svhlth = int(d1[2] >> 2) & 0x3F
+    iodc_hi = int(d1[2]) & 0x3
+    e.tgd = _q(_s(int(d1[6]) & 0xFF, 8), POW2_M31)
+    e.iodc = (iodc_hi << 8) | (int(d1[7] >> 16) & 0xFF)
+    toc = (int(d1[7]) & 0xFFFF) * 16.0
+    e.af2 = _q(_s(int(d1[8] >> 16) & 0xFF, 8), POW2_M55)
+    e.af1 = _q(_s(int(d1[8]) & 0xFFFF, 16), POW2_M43)
+    e.af0 = _q(_s(int(d1[9] >> 2) & 0x3FFFFF, 22), POW2_M31)
+
+    # --- subframe 2 ---
+    e.iode = int(d2[2] >> 16) & 0xFF
+    e.crs = _q(_s(int(d2[2]) & 0xFFFF, 16), POW2_M5)
+    e.deltan = _q(_s(int(d2[3] >> 8) & 0xFFFF, 16), POW2_M43, PI)
+    e.m0 = _q(_s(((int(d2[3]) & 0xFF) << 24) | int(d2[4]), 32), POW2_M31, PI)
+    e.cuc = _q(_s(int(d2[5] >> 8) & 0xFFFF, 16), POW2_M29)
+    e.ecc = _q(((int(d2[5]) & 0xFF) << 24) | int(d2[6]), POW2_M33)
+    e.cus = _q(_s(int(d2[7] >> 8) & 0xFFFF, 16), POW2_M29)
+    e.sqrta = _q(((int(d2[7]) & 0xFF) << 24) | int(d2[8]), POW2_M19)
+    toe = (int(d2[9] >> 8) & 0xFFFF) * 16.0
+
+    # --- subframe 3 ---
+    e.cic = _q(_s(int(d3[2] >> 8) & 0xFFFF, 16), POW2_M29)
+    e.omg0 = _q(_s(((int(d3[2]) & 0xFF) << 24) | int(d3[3]), 32), POW2_M31, PI)
+    e.cis = _q(_s(int(d3[4] >> 8) & 0xFFFF, 16), POW2_M29)
+    e.inc0 = _q(_s(((int(d3[4]) & 0xFF) << 24) | int(d3[5]), 32), POW2_M31, PI)
+    e.crc = _q(_s(int(d3[6] >> 8) & 0xFFFF, 16), POW2_M5)
+    e.aop = _q(_s(((int(d3[6]) & 0xFF) << 24) | int(d3[7]), 32), POW2_M31, PI)
+    e.omgdot = _q(_s(int(d3[8]), 24), POW2_M43, PI)
+    iode3 = int(d3[9] >> 16) & 0xFF
+    e.idot = _q(_s(int(d3[9] >> 2) & 0x3FFF, 14), POW2_M43, PI)
+    if iode3 != e.iode:
+        raise ValueError(f"IODE mismatch between subframes 2/3: "
+                         f"{e.iode} vs {iode3}")
+
+    # Resolve the 10-bit week against the TOW's implied epoch: the
+    # subframe 1 WN is wn mod 1024; take the current GPS era (the same
+    # rollover convention the RINEX parser applies).
+    week = wn  # mod-1024; consistent use in GpsTime keeps dt math correct
+    e.toc = GpsTime(week, toc)
+    e.toe = GpsTime(week, toe)
+
+    # Working variables (models/ephemeris.py:260-263)
+    e.A = e.sqrta * e.sqrta
+    e.n = math.sqrt(GM_EARTH / (e.A ** 3)) + e.deltan
+    e.sq1e2 = math.sqrt(1.0 - e.ecc * e.ecc)
+    e.omgkdot = e.omgdot - OMEGA_EARTH
+    return e
+
+
+def decode_all(subframes) -> Optional[Ephemeris]:
+    """Pick subframes 1-3 out of a decoded list and build the ephemeris."""
+    by_id: Dict[int, Subframe] = {}
+    for s in subframes:
+        by_id.setdefault(s.sbf_id, s)
+    if not {1, 2, 3} <= set(by_id):
+        return None
+    return decode_ephemeris(by_id[1], by_id[2], by_id[3])

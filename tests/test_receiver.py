@@ -123,3 +123,50 @@ def test_frontend_roundtrip_formats():
     x1 = load_iq(np.asarray(pack(jnp.asarray(iq), 1)).tobytes(), 1)
     assert np.array_equal(x1.real, np.where(iq[0, :, 0] > 0, 1.0, -1.0))
     assert np.array_equal(x1.imag, np.where(iq[0, :, 1] > 0, 1.0, -1.0))
+
+
+# ---------------------------------------------------------------------------
+# Full PVT closure: 19.5 s capture -> decoded ephemeris -> position fix.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pvt_solution():
+    cfg = ScenarioConfig(nav_file="data/brdc3540.14n", static_xyz=TOKYO,
+                         duration=19.5, samp_freq=FS, data_format=16,
+                         iono_enable=False)
+    scn = build_scenario(cfg)
+    buf = io.BytesIO()
+    run_simulation(scn, buf, batch_epochs=16, impl="xla", log=lambda s: None)
+    x = load_iq(buf.getvalue(), 16)
+    acq = acquire(x, FS, dopp_step=50.0)
+    res = track(x, FS, acq)
+
+    from gps_sdr_sim_tpu.receiver.pvt import observables, solve
+
+    obs = observables(res)
+    return obs, solve(obs)
+
+
+def test_pvt_position_fix_matches_simulated_location(pvt_solution):
+    obs, sol = pvt_solution
+    err = np.linalg.norm(sol.xyz - TOKYO)
+    assert sol.n_sats >= 4
+    assert err < 10.0, f"position error {err:.2f} m with {sol.n_sats} sats"
+    assert np.max(np.abs(sol.residuals)) < 5.0
+
+
+def test_decoded_ephemeris_reencodes_identically(pvt_solution):
+    """decode_ephemeris must be the exact inverse of eph2sbf."""
+    from gps_sdr_sim_tpu.models.ephemeris import IonoUtc, read_rinex_nav_all
+    from gps_sdr_sim_tpu.models.navmsg import eph2sbf
+
+    obs, _ = pvt_solution
+    ionoutc = IonoUtc()
+    eph_all, _neph = read_rinex_nav_all("data/brdc3540.14n", ionoutc)
+    for o in obs:
+        truth = eph_all[0][o.prn - 1]
+        sbf_truth = eph2sbf(truth, ionoutc)
+        sbf_dec = eph2sbf(o.eph, ionoutc)
+        # Subframes 1-3 carry the ephemeris; wn/tow are injected later.
+        np.testing.assert_array_equal(sbf_dec[:3], sbf_truth[:3])
