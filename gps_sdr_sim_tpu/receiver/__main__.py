@@ -67,8 +67,8 @@ def main(argv=None) -> int:
             from gps_sdr_sim_tpu.receiver.pvt import observables, solve
             from gps_sdr_sim_tpu.utils.coord import xyz2llh
 
-            obs = observables(res)
-            sol = solve(obs)
+            obs, ionoutc = observables(res)
+            sol = solve(obs, ionoutc)
             llh = xyz2llh(sol.xyz)
             print(f"\nPVT fix ({sol.n_sats} sats, {sol.iterations} iter):")
             print(f"  ECEF  {sol.xyz[0]:.2f} {sol.xyz[1]:.2f} "

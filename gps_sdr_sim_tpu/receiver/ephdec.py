@@ -13,8 +13,10 @@ import math
 import numpy as np
 
 from gps_sdr_sim_tpu.constants import (GM_EARTH, OMEGA_EARTH, PI, POW2_M5,
-                                       POW2_M19, POW2_M29, POW2_M31,
-                                       POW2_M33, POW2_M43, POW2_M55)
+                                       POW2_M19, POW2_M24, POW2_M27,
+                                       POW2_M29, POW2_M30, POW2_M31,
+                                       POW2_M33, POW2_M43, POW2_M50,
+                                       POW2_M55)
 from gps_sdr_sim_tpu.models.ephemeris import Ephemeris
 from gps_sdr_sim_tpu.receiver.navdec import Subframe
 from gps_sdr_sim_tpu.utils.gpstime import GpsTime
@@ -126,3 +128,38 @@ def decode_all(subframes) -> Optional[Ephemeris]:
     if not {1, 2, 3} <= set(by_id):
         return None
     return decode_ephemeris(by_id[1], by_id[2], by_id[3])
+
+
+def decode_ionoutc(sbf4: Subframe):
+    """Decode iono/UTC from subframe 4 page 18 (eph2sbf gpssim.c:622-650).
+
+    Returns an IonoUtc, or None if this subframe 4 is the empty page 25
+    (no ION ALPHA/BETA in the source RINEX header).
+    """
+    from gps_sdr_sim_tpu.models.ephemeris import IonoUtc
+
+    assert sbf4.sbf_id == 4
+    d = _data24(sbf4)
+    sv_id = int(d[2] >> 16) & 0x3F
+    if sv_id != 56:  # page 18 carries iono/UTC; 63 is the filler page 25
+        return None
+
+    io = IonoUtc()
+    io.vflg = True
+    io.alpha0 = _q(_s(int(d[2] >> 8) & 0xFF, 8), POW2_M30)
+    io.alpha1 = _q(_s(int(d[2]) & 0xFF, 8), POW2_M27)
+    io.alpha2 = _q(_s(int(d[3] >> 16) & 0xFF, 8), POW2_M24)
+    io.alpha3 = _q(_s(int(d[3] >> 8) & 0xFF, 8), POW2_M24)
+    io.beta0 = float(_s(int(d[3]) & 0xFF, 8)) * 2048.0
+    io.beta1 = float(_s(int(d[4] >> 16) & 0xFF, 8)) * 16384.0
+    io.beta2 = float(_s(int(d[4] >> 8) & 0xFF, 8)) * 65536.0
+    io.beta3 = float(_s(int(d[4]) & 0xFF, 8)) * 65536.0
+    io.A1 = _q(_s(int(d[5]), 24), POW2_M50)
+    io.A0 = _q(_s((int(d[6]) << 8) | (int(d[7] >> 16) & 0xFF), 32), POW2_M30)
+    io.tot = (int(d[7] >> 8) & 0xFF) * 4096
+    io.wnt = int(d[7]) & 0xFF
+    io.dtls = _s(int(d[8] >> 16) & 0xFF, 8)
+    io.wnlsf = int(d[8] >> 8) & 0xFF
+    io.dn = int(d[8]) & 0xFF
+    io.dtlsf = _s(int(d[9] >> 16) & 0xFF, 8)
+    return io

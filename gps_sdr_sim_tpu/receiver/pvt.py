@@ -72,26 +72,60 @@ def transmit_time(off: int, cph: np.ndarray, sbf, m: int) -> float:
 
 def observables(res: TrackResult, m: Optional[int] = None
                 ) -> List[ChannelObs]:
-    """Decode every channel and form its transmit-time observable."""
+    """Decode every channel and form its transmit-time observable.
+
+    Returns (channels, ionoutc): ionoutc is decoded from the first
+    subframe 4 page 18 seen on any channel (None when absent, e.g. short
+    captures or iono-disabled scenarios).
+    """
+    from gps_sdr_sim_tpu.receiver.ephdec import decode_ionoutc
+
     n_ms = res.prompt.shape[0]
     if m is None:
         m = n_ms - 2
     out = []
+    ionoutc = None
     for c, prn in enumerate(res.prns):
         p = res.prompt[:, c]
         off = bit_sync(p)
         bits = decode_bits(p, off)
         sbfs = frame_sync(bits)
         eph = decode_all(sbfs)
+        if ionoutc is None:
+            for s in sbfs:
+                if s.sbf_id == 4:
+                    ionoutc = decode_ionoutc(s)
+                    break
         if eph is None or eph.svhlth:
             continue
         tx = transmit_time(off, res.code_phase[:, c], sbfs[0], m)
         out.append(ChannelObs(prn=int(prn), tx_time=tx, eph=eph))
+    return out, ionoutc
+
+
+def _iono_correction(ionoutc, x, t_rx, pos):
+    """Klobuchar delay (m) per satellite for a receiver at ECEF x."""
+    from gps_sdr_sim_tpu.models.atmosphere import ionospheric_delay
+    from gps_sdr_sim_tpu.utils.coord import (ecef2neu, ltcmat, neu2azel,
+                                             xyz2llh)
+
+    llh = xyz2llh(x)
+    t = ltcmat(llh)
+    out = np.zeros(len(pos))
+    for i in range(len(pos)):
+        neu = ecef2neu(pos[i] - x, t)
+        out[i] = ionospheric_delay(ionoutc, t_rx, llh, neu2azel(neu))
     return out
 
 
-def solve(obs: Sequence[ChannelObs], max_iter: int = 10) -> PvtSolution:
-    """Iterated least squares for (x, y, z, receiver clock bias)."""
+def solve(obs: Sequence[ChannelObs], ionoutc=None,
+          max_iter: int = 10) -> PvtSolution:
+    """Iterated least squares for (x, y, z, receiver clock bias).
+
+    With `ionoutc` (decoded from subframe 4 page 18), the Klobuchar model
+    is evaluated at the converged position and the solve repeats on the
+    corrected pseudoranges — same two-pass shape real receivers use.
+    """
     if len(obs) < 4:
         raise ValueError(f"need >=4 usable channels, got {len(obs)}")
 
@@ -110,30 +144,35 @@ def solve(obs: Sequence[ChannelObs], max_iter: int = 10) -> PvtSolution:
     t_rx = tx_gps.max() + 0.08
     prange = SPEED_OF_LIGHT * (t_rx - tx_sv)
 
-    x = np.zeros(3)
-    b = 0.0
-    for it in range(max_iter):
-        tau = np.linalg.norm(pos - x, axis=1) / SPEED_OF_LIGHT
-        # Sagnac: rotate each SV into the ECEF frame of reception time.
-        ang = OMEGA_EARTH * tau
-        ca, sa = np.cos(ang), np.sin(ang)
-        px = ca * pos[:, 0] + sa * pos[:, 1]
-        py = -sa * pos[:, 0] + ca * pos[:, 1]
-        p_rot = np.stack([px, py, pos[:, 2]], axis=1)
+    def run_ls(prange, x, b):
+        for it in range(max_iter):
+            tau = np.linalg.norm(pos - x, axis=1) / SPEED_OF_LIGHT
+            # Sagnac: rotate each SV into the ECEF frame of reception time.
+            ang = OMEGA_EARTH * tau
+            ca, sa = np.cos(ang), np.sin(ang)
+            px = ca * pos[:, 0] + sa * pos[:, 1]
+            py = -sa * pos[:, 0] + ca * pos[:, 1]
+            p_rot = np.stack([px, py, pos[:, 2]], axis=1)
 
-        los = p_rot - x
-        rho = np.linalg.norm(los, axis=1)
-        # Modeled pseudorange: geometric range + c*(b - dtsv).
-        pred = rho + b - SPEED_OF_LIGHT * dtsv
-        r = prange - pred
-        H = np.concatenate([-los / rho[:, None], np.ones((len(obs), 1))],
-                           axis=1)
-        dx, *_ = np.linalg.lstsq(H, r, rcond=None)
-        x = x + dx[:3]
-        b = b + dx[3]
-        if np.linalg.norm(dx[:3]) < 1e-4:
-            break
+            los = p_rot - x
+            rho = np.linalg.norm(los, axis=1)
+            # Modeled pseudorange: geometric range + c*(b - dtsv).
+            pred = rho + b - SPEED_OF_LIGHT * dtsv
+            r = prange - pred
+            H = np.concatenate([-los / rho[:, None],
+                                np.ones((len(obs), 1))], axis=1)
+            dx, *_ = np.linalg.lstsq(H, r, rcond=None)
+            x = x + dx[:3]
+            b = b + dx[3]
+            if np.linalg.norm(dx[:3]) < 1e-4:
+                break
+        return x, b, r - H @ dx, it + 1
+
+    x, b, res, iters = run_ls(prange, np.zeros(3), 0.0)
+    if ionoutc is not None and ionoutc.vflg:
+        iono = _iono_correction(ionoutc, x, t_rx % 604800.0, pos)
+        x, b, res, it2 = run_ls(prange - iono, x, b)
+        iters += it2
 
     return PvtSolution(xyz=x, clock_bias=b / SPEED_OF_LIGHT,
-                       residuals=r - H @ dx, n_sats=len(obs),
-                       iterations=it + 1)
+                       residuals=res, n_sats=len(obs), iterations=iters)

@@ -132,9 +132,10 @@ def test_frontend_roundtrip_formats():
 
 @pytest.fixture(scope="module")
 def pvt_solution():
+    # 26 s (iono ON) covers subframes 1-4, so the fix exercises ephemeris
+    # decode AND the Klobuchar correction recovered from subframe 4 page 18.
     cfg = ScenarioConfig(nav_file="data/brdc3540.14n", static_xyz=TOKYO,
-                         duration=19.5, samp_freq=FS, data_format=16,
-                         iono_enable=False)
+                         duration=26.0, samp_freq=FS, data_format=16)
     scn = build_scenario(cfg)
     buf = io.BytesIO()
     run_simulation(scn, buf, batch_epochs=16, impl="xla", log=lambda s: None)
@@ -144,12 +145,13 @@ def pvt_solution():
 
     from gps_sdr_sim_tpu.receiver.pvt import observables, solve
 
-    obs = observables(res)
-    return obs, solve(obs)
+    obs, ionoutc = observables(res)
+    return obs, ionoutc, solve(obs, ionoutc)
 
 
 def test_pvt_position_fix_matches_simulated_location(pvt_solution):
-    obs, sol = pvt_solution
+    obs, ionoutc, sol = pvt_solution
+    assert ionoutc is not None and ionoutc.vflg
     err = np.linalg.norm(sol.xyz - TOKYO)
     assert sol.n_sats >= 4
     assert err < 10.0, f"position error {err:.2f} m with {sol.n_sats} sats"
@@ -161,12 +163,13 @@ def test_decoded_ephemeris_reencodes_identically(pvt_solution):
     from gps_sdr_sim_tpu.models.ephemeris import IonoUtc, read_rinex_nav_all
     from gps_sdr_sim_tpu.models.navmsg import eph2sbf
 
-    obs, _ = pvt_solution
+    obs, io_dec, _ = pvt_solution
     ionoutc = IonoUtc()
     eph_all, _neph = read_rinex_nav_all("data/brdc3540.14n", ionoutc)
     for o in obs:
         truth = eph_all[0][o.prn - 1]
         sbf_truth = eph2sbf(truth, ionoutc)
-        sbf_dec = eph2sbf(o.eph, ionoutc)
-        # Subframes 1-3 carry the ephemeris; wn/tow are injected later.
-        np.testing.assert_array_equal(sbf_dec[:3], sbf_truth[:3])
+        sbf_dec = eph2sbf(o.eph, io_dec)
+        # Subframes 1-3 carry the ephemeris, subframe 4 page 18 the
+        # iono/UTC; wn/tow are injected later. All must re-encode exactly.
+        np.testing.assert_array_equal(sbf_dec[:4], sbf_truth[:4])
