@@ -130,3 +130,39 @@ def test_uhd_player_file_sink(tmp_path):
     want = (iq.astype(np.float32).reshape(-1, 2) / 2048.0)
     np.testing.assert_array_equal(got.real, want[:, 0])
     np.testing.assert_array_equal(got.imag, want[:, 1])
+
+
+def test_asan_build_runs_clean(tmp_path):
+    """Sanitizer pass for the native tools (SURVEY.md §5: race/sanitizers).
+
+    Builds the suite with -fsanitize=address,undefined into a scratch copy
+    and runs each tool on real inputs; any ASan/UBSan report fails the run.
+    """
+    src = tmp_path / "tools"
+    shutil.copytree(TOOLS, src, ignore=shutil.ignore_patterns(
+        "gps-sdr-player", "nmea2um", "iqcompare", "*.so", "*.py",
+        "*.script"))
+    subprocess.run(["make", "-C", str(src), "asan"], check=True,
+                   capture_output=True)
+
+    iq = np.arange(-400, 400, dtype=np.int16)
+    a = tmp_path / "a.bin"
+    a.write_bytes(iq.tobytes())
+    r = subprocess.run([str(src / "iqcompare"), "-b", "16", str(a), str(a)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+
+    out = tmp_path / "um.csv"
+    r = subprocess.run([str(src / "nmea2um"), str(DATA / "triumphv3.txt"),
+                        str(out)], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+
+    conv = tmp_path / "conv.bin"
+    r = subprocess.run([str(src / "gps-sdr-player"), "-f", str(a), "-b",
+                        "16", "-B", "file", "-o", str(conv)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    # The streaming state machine zero-pads the trailing partial buffer
+    # (bladeplayer.c PAD_TRAILING); payload must pass through untouched.
+    raw = a.read_bytes()
+    assert conv.read_bytes()[:len(raw)] == raw
