@@ -173,3 +173,32 @@ def test_decoded_ephemeris_reencodes_identically(pvt_solution):
         # Subframes 1-3 carry the ephemeris, subframe 4 page 18 the
         # iono/UTC; wn/tow are injected later. All must re-encode exactly.
         np.testing.assert_array_equal(sbf_dec[:4], sbf_truth[:4])
+
+
+def test_dynamic_trajectory_tracking():
+    """Rover case (rtk/rover.csv analogue): track a moving receiver.
+
+    The circle trajectory sweeps the carrier Doppler; the PLL must follow
+    the planned per-epoch f_carr profile, not just the initial value.
+    """
+    cfg = ScenarioConfig(nav_file="data/brdc3540.14n",
+                         motion_file="data/circle.csv",
+                         duration=6.0, samp_freq=FS, data_format=16)
+    scn = build_scenario(cfg)
+    buf = io.BytesIO()
+    run_simulation(scn, buf, batch_epochs=16, impl="xla", log=lambda s: None)
+    x = load_iq(buf.getvalue(), 16)
+    acq = acquire(x, FS, dopp_step=50.0)
+    res = track(x, FS, acq)
+
+    seg = scn.segments[0]
+    cols = {int(p): i for i, p in enumerate(seg.prn) if p > 0}
+    # The instantaneous loop readout jitters a few Hz; compare a 0.2 s
+    # average against the planned per-epoch profile at 1 s and at the end.
+    n_ms = res.doppler.shape[0]
+    for c, prn in enumerate(res.prns):
+        col = cols[int(prn)]
+        for t_ms in (1000, n_ms - 100):
+            planned = seg.f_carr[min(t_ms // 100, seg.n_epochs - 1), col]
+            got = float(np.mean(res.doppler[t_ms:t_ms + 100, c]))
+            assert abs(got - planned) < 5.0, (prn, t_ms, got, planned)
