@@ -32,6 +32,9 @@ def main(argv=None) -> int:
                          "(needs >=19 s of signal for subframes 1-3)")
     ap.add_argument("--dopp-step", type=float, default=50.0)
     ns = ap.parse_args(argv)
+    if ns.pvt and ns.track <= 0:
+        ap.error("--pvt requires --track SECONDS (>=19 s of signal to "
+                 "decode subframes 1-3)")
 
     from gps_sdr_sim_tpu.receiver import (acquire, bit_sync, decode_bits,
                                           frame_sync, load_iq, track)

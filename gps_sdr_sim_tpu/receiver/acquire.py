@@ -51,11 +51,19 @@ def _acq_fn(s: int, n_dopp: int, n_blocks: int):
         # x_blocks [n_blocks, S]; code_fft [P, S]; dopp_hz [n_dopp]
         t = jnp.arange(s, dtype=jnp.float32) / fs
         carr = jnp.exp(-2j * jnp.pi * dopp_hz[:, None] * t[None, :])
-        xb = x_blocks[None, :, :] * carr[:, None, :]      # [D, B, S]
-        xf = jnp.fft.fft(xb, axis=-1)
-        corr = jnp.fft.ifft(xf[None] * jnp.conj(code_fft)[:, None, None, :],
-                            axis=-1)                      # [P, D, B, S]
-        power = jnp.sum(jnp.abs(corr) ** 2, axis=2)       # [P, D, S]
+
+        # Accumulate non-coherent power block by block: peak memory is one
+        # [P, D, S] correlation cube instead of [P, D, B, S] (>0.5 GB at
+        # CLI defaults on the CPU fallback path).
+        def block(b, power):
+            xf = jnp.fft.fft(x_blocks[b][None, :] * carr, axis=-1)  # [D, S]
+            corr = jnp.fft.ifft(
+                xf[None] * jnp.conj(code_fft)[:, None, :], axis=-1)
+            return power + jnp.abs(corr) ** 2
+
+        power = jax.lax.fori_loop(
+            0, n_blocks, block,
+            jnp.zeros((code_fft.shape[0], dopp_hz.shape[0], s), jnp.float32))
         peak = jnp.max(power, axis=(1, 2))
         flat = power.reshape(power.shape[0], -1)
         arg = jnp.argmax(flat, axis=1)
@@ -76,6 +84,8 @@ def _fine_doppler(x: np.ndarray, fs: float, code: np.ndarray,
     """
     s = len(code)
     n_ms = min(n_ms, (len(x) - code_phase) // s)
+    if n_ms < 2:
+        return coarse  # not enough signal past the peak to refine
     t = np.arange(n_ms * s, dtype=np.float64) / fs
     seg = x[code_phase:code_phase + n_ms * s] * np.exp(-2j * np.pi * coarse * t)
     p = (seg.reshape(n_ms, s) * code[None, :]).sum(axis=1)

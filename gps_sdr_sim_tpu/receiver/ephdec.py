@@ -105,10 +105,12 @@ def decode_ephemeris(sbf1: Subframe, sbf2: Subframe, sbf3: Subframe,
         raise ValueError(f"IODE mismatch between subframes 2/3: "
                          f"{e.iode} vs {iode3}")
 
-    # Resolve the 10-bit week against the TOW's implied epoch: the
-    # subframe 1 WN is wn mod 1024; take the current GPS era (the same
-    # rollover convention the RINEX parser applies).
-    week = wn  # mod-1024; consistent use in GpsTime keeps dt math correct
+    # Subframe 1 carries only the 10 LSBs of the week; the GPS era (1024-
+    # week rollover) is not recoverable from the signal. toe/toc keep the
+    # mod-1024 week — all half-week-wrapped arithmetic (satpos, clock
+    # polynomials) is era-independent, but callers needing absolute time
+    # must add the era themselves.
+    week = wn
     e.toc = GpsTime(week, toc)
     e.toe = GpsTime(week, toe)
 
@@ -121,13 +123,21 @@ def decode_ephemeris(sbf1: Subframe, sbf2: Subframe, sbf3: Subframe,
 
 
 def decode_all(subframes) -> Optional[Ephemeris]:
-    """Pick subframes 1-3 out of a decoded list and build the ephemeris."""
+    """Pick subframes 1-3 out of a decoded list and build the ephemeris.
+
+    Returns None when the set is incomplete or inconsistent (e.g. the
+    capture straddles an ephemeris-set change and subframes 2/3 carry
+    different IODEs) — callers skip the channel rather than abort.
+    """
     by_id: Dict[int, Subframe] = {}
     for s in subframes:
         by_id.setdefault(s.sbf_id, s)
     if not {1, 2, 3} <= set(by_id):
         return None
-    return decode_ephemeris(by_id[1], by_id[2], by_id[3])
+    try:
+        return decode_ephemeris(by_id[1], by_id[2], by_id[3])
+    except ValueError:
+        return None
 
 
 def decode_ionoutc(sbf4: Subframe):

@@ -71,7 +71,7 @@ def transmit_time(off: int, cph: np.ndarray, sbf, m: int) -> float:
 
 
 def observables(res: TrackResult, m: Optional[int] = None
-                ) -> List[ChannelObs]:
+                ) -> "tuple[List[ChannelObs], object]":
     """Decode every channel and form its transmit-time observable.
 
     Returns (channels, ionoutc): ionoutc is decoded from the first
@@ -94,8 +94,9 @@ def observables(res: TrackResult, m: Optional[int] = None
         if ionoutc is None:
             for s in sbfs:
                 if s.sbf_id == 4:
-                    ionoutc = decode_ionoutc(s)
-                    break
+                    ionoutc = decode_ionoutc(s)  # None for non-18 pages
+                    if ionoutc is not None:
+                        break
         if eph is None or eph.svhlth:
             continue
         tx = transmit_time(off, res.code_phase[:, c], sbfs[0], m)
@@ -110,12 +111,8 @@ def _iono_correction(ionoutc, x, t_rx, pos):
                                              xyz2llh)
 
     llh = xyz2llh(x)
-    t = ltcmat(llh)
-    out = np.zeros(len(pos))
-    for i in range(len(pos)):
-        neu = ecef2neu(pos[i] - x, t)
-        out[i] = ionospheric_delay(ionoutc, t_rx, llh, neu2azel(neu))
-    return out
+    azel = neu2azel(ecef2neu(pos - x, ltcmat(llh)))
+    return ionospheric_delay(ionoutc, t_rx, llh, azel)
 
 
 def solve(obs: Sequence[ChannelObs], ionoutc=None,

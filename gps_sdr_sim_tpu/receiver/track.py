@@ -86,6 +86,10 @@ def _track_fn(s: int, pll_bw: float, dll_bw: float):
         i_dll = i_dll + e_dll
         d_nco_next = kp_d * e_dll + ki_d * i_dll
 
+        # Output carries BLOCK-START state (phase before this block's
+        # advance) — pvt.transmit_time depends on that convention.
+        out = (P, f_wipe, chip_i.astype(jnp.float32) + chip_f)
+
         # Advance NCOs with the frequencies actually used this block.
         carr_ph = jnp.mod(carr_ph + s * (f_wipe / fs), 1.0)
         total = chip_f + s * code_step
@@ -93,7 +97,6 @@ def _track_fn(s: int, pll_bw: float, dll_bw: float):
         chip_f = total - adv.astype(jnp.float32)
         chip_i = jnp.remainder(chip_i + adv, CA_SEQ_LEN)
 
-        out = (P, f_wipe, chip_i.astype(jnp.float32) + chip_f)
         return (chip_i, chip_f, carr_ph, f_wipe_next, i_pll,
                 d_nco_next, i_dll), out
 
