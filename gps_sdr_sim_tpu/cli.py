@@ -62,7 +62,30 @@ def _usage():
         file=sys.stderr)
 
 
+_VALUE_FLAGS = ("-e", "-u", "-g", "-c", "-l", "-t", "-T", "-d", "-o", "-s",
+                "-b")
+
+
+def _merge_values(argv):
+    """Join each value flag with its operand (getopt compatibility).
+
+    argparse would otherwise reject negative operands like
+    `-c -2694685.473,-4293642.366,3857878.924` or `-l -33.87,151.21,10`
+    as unknown options; the C reference's getopt accepts them.
+    """
+    out, i = [], 0
+    while i < len(argv):
+        if argv[i] in _VALUE_FLAGS and i + 1 < len(argv):
+            out.append(argv[i] + "=" + argv[i + 1])
+            i += 2
+        else:
+            out.append(argv[i])
+            i += 1
+    return out
+
+
 def parse_args(argv) -> tuple:
+    argv = _merge_values(list(argv))
     ap = argparse.ArgumentParser(add_help=False)
     ap.add_argument("-e", dest="navfile", default="")
     ap.add_argument("-u", dest="umfile", default="")
@@ -197,8 +220,9 @@ def main(argv=None) -> int:
         print(f"ERROR: {e}", file=sys.stderr)
         return 1
 
-    if cfg.verbose and scn.ionoutc.vflg:
-        io = scn.ionoutc
+    if cfg.verbose and scn.ionoutc_file.vflg:
+        # The reference dumps the file's values BEFORE any -T overwrite.
+        io = scn.ionoutc_file
         print(f"  {io.alpha0:12.3e} {io.alpha1:12.3e} {io.alpha2:12.3e} "
               f"{io.alpha3:12.3e}", file=sys.stderr)
         print(f"  {io.beta0:12.3e} {io.beta1:12.3e} {io.beta2:12.3e} "
@@ -255,7 +279,16 @@ def _run(ns, cfg, scn) -> int:
                                batch_epochs=ns.batch_epochs, impl=ns.impl,
                                resume=ns.resume)
         if ns.concat:
-            concat_shards(ns.shard_dir, cfg.out_file)
+            import jax
+
+            if jax.process_count() > 1:
+                # Wait for every host's shards, then let exactly one
+                # process assemble the file.
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("shards_complete")
+            if jax.process_index() == 0:
+                concat_shards(ns.shard_dir, cfg.out_file)
         print("\nDone!", file=sys.stderr)
         print(f"Process time = {time.time() - t_start:.1f} [sec]",
               file=sys.stderr)

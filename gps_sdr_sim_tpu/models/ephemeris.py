@@ -166,6 +166,11 @@ def read_rinex_nav_all(fname: str, ionoutc: IonoUtc):
                 break
 
             sv = c_atoi(line[0:2]) - 1
+            if not 0 <= sv < MAX_SAT:
+                # Unparsable PRN (trailing blank/garbage line): stop, like
+                # the reference's fgets loop would at a short line. Never
+                # index eph[ieph][-1] (silent PRN-32 corruption).
+                break
 
             t = DateTime()
             t.y = c_atoi(line[3:5]) + 2000

@@ -19,6 +19,7 @@ makes time-block sharding over a TPU mesh possible.
 
 from __future__ import annotations
 
+import copy
 import math
 import time as _time
 from dataclasses import dataclass, field
@@ -136,6 +137,7 @@ class Scenario:
     segments: List[Segment]
     channel_tables: List[tuple]  # (iumd, [(prn, az_deg, el_deg, d, iono)])
     ionoutc: IonoUtc
+    ionoutc_file: IonoUtc  # as parsed, before any -T wnt/tot overwrite
 
     @property
     def n_output_epochs(self) -> int:
@@ -225,13 +227,20 @@ def _select_ephem_set(eph, neph, g0: GpsTime) -> int:
 def build_scenario(cfg: ScenarioConfig) -> Scenario:
     """Build the full host-side plan for a simulation run."""
     # ---- Receiver trajectory (gpssim.c:1887-1917) ----
+    # Static mode WINS when both a static location and a motion file are
+    # given, like the reference (staticLocationMode gates the motion-file
+    # read entirely, gpssim.c:1887).
     static_mode = cfg.static_xyz is not None
-    if cfg.motion_file or cfg.nmea_file:
-        static_mode = False
-        if cfg.nmea_file:
-            xyz = read_nmea_gga(cfg.nmea_file, cfg.max_motion_points)
-        else:
-            xyz = read_user_motion(cfg.motion_file, cfg.max_motion_points)
+    if not static_mode and (cfg.motion_file or cfg.nmea_file):
+        try:
+            if cfg.nmea_file:
+                xyz = read_nmea_gga(cfg.nmea_file, cfg.max_motion_points)
+            else:
+                xyz = read_user_motion(cfg.motion_file,
+                                       cfg.max_motion_points)
+        except OSError:
+            raise ScenarioError(
+                "Failed to open user motion / NMEA GGA file.")
         if xyz.shape[0] == 0:
             raise ScenarioError("Failed to read user motion / NMEA GGA data.")
     elif cfg.static_xyz is not None:
@@ -271,6 +280,11 @@ def build_scenario(cfg: ScenarioConfig) -> Scenario:
     if neph == -1:
         raise ScenarioError("ephemeris file not found.")
 
+    # Snapshot for the -v iono/UTC dump: the reference prints it straight
+    # after the RINEX parse, BEFORE -T overwrites wnt/tot
+    # (gpssim.c:1938-1948 vs :1990-1993).
+    ionoutc_file = copy.copy(ionoutc)
+
     g0, t0 = _resolve_start_time(cfg, eph, neph, ionoutc)
     ieph = _select_ephem_set(eph, neph, g0)
 
@@ -288,7 +302,7 @@ def build_scenario(cfg: ScenarioConfig) -> Scenario:
     return Scenario(
         config=cfg, g0=g0, t0=t0, numd=numd, iq_buff_size=iq_buff_size,
         samp_freq=samp_freq, delt=delt, segments=segments,
-        channel_tables=tables, ionoutc=ionoutc,
+        channel_tables=tables, ionoutc=ionoutc, ionoutc_file=ionoutc_file,
     )
 
 

@@ -34,9 +34,14 @@ def pack_sc08(iq: jax.Array) -> jax.Array:
 
 @jax.jit
 def pack_sc01(iq: jax.Array) -> jax.Array:
-    """[B, N, 2] int16 -> [B, N/4] uint8, sign bits packed MSB-first."""
+    """[B, N, 2] int16 -> [B, N//4] uint8, sign bits packed MSB-first.
+
+    Like the reference (gpssim.c:2266-2276, loop bound iq_buff_size/4),
+    a trailing partial group of <4 IQ pairs is dropped.
+    """
     b, n, _ = iq.shape
-    bits = (iq > 0).reshape(b, n // 4, 8).astype(jnp.int32)
+    n4 = n // 4
+    bits = (iq[:, :n4 * 4] > 0).reshape(b, n4, 8).astype(jnp.int32)
     return jnp.sum(bits * _BIT_WEIGHTS, axis=-1).astype(jnp.uint8)
 
 

@@ -24,7 +24,7 @@ every lookup is replaced by VPU arithmetic:
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

@@ -23,8 +23,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gps_sdr_sim_tpu.constants import CA_SEQ_LEN, MAX_CHAN, SUBBLOCK
+from gps_sdr_sim_tpu.constants import CA_SEQ_LEN, SUBBLOCK
 from gps_sdr_sim_tpu.ops.plan import DeviceBatch
+from gps_sdr_sim_tpu.ops.synth_jnp import _select32, _trig_formula
 from gps_sdr_sim_tpu.ops.tables import COS_TABLE512, SIN_TABLE512
 
 # Parameter lane assignment within a channel's 32-lane strip.
@@ -48,16 +49,10 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 _INV20 = np.float32(1.0 / 20.0)
-_TWO_PI_512 = np.float32(2.0 * np.pi / 512.0)
 
-
-def _trig_formula(i_tab):
-    x = (i_tab.astype(jnp.float32) + 0.5) * _TWO_PI_512
-    s = 250.0 * jnp.sin(x)
-    c = 250.0 * jnp.cos(x)
-    sin_v = (s + jnp.sign(s) * 0.5).astype(jnp.int32)
-    cos_v = (c + jnp.sign(c) * 0.5).astype(jnp.int32)
-    return sin_v, cos_v
+# _trig_formula and _select32 are shared with the XLA kernel
+# (ops/synth_jnp.py) — the rounding recipe is correctness-critical
+# (bit-parity with the C tables), so there is exactly one copy.
 
 
 @lru_cache(maxsize=None)
@@ -81,14 +76,6 @@ def _pallas_trig_corrections():
     dc = COS_TABLE512 - np.asarray(c).reshape(-1)
     return (tuple((int(i), int(ds[i])) for i in np.nonzero(ds)[0]),
             tuple((int(i), int(dc[i])) for i in np.nonzero(dc)[0]))
-
-
-def _select32(vals, idx5):
-    for level in range(5):
-        bit = (idx5 >> level) & 1
-        vals = [jnp.where(bit == 1, vals[2 * i + 1], vals[2 * i])
-                for i in range(len(vals) // 2)]
-    return vals[0]
 
 
 def _make_kernel(n_chan: int, sin_fix, cos_fix):

@@ -6,8 +6,9 @@ rounding boundary (value 105.50007) where the original table rounds *down*;
 we apply those as explicit corrections. The cos table is exactly the sin
 table rotated by 128 entries (verified against the reference binary).
 
-The device kernel consumes a single packed int32 table with cos in the high
-16 bits and sin in the low 16 bits, so the carrier mix needs one gather.
+Both device kernels recompute these values on the VPU from the closed-form
+rule (gathers are slow on TPU); the _BOUNDARY_FIX entries become per-backend
+baked corrections (synth_jnp._trig_corrections).
 """
 
 from __future__ import annotations
@@ -31,13 +32,3 @@ def _build_sin512() -> np.ndarray:
 SIN_TABLE512 = _build_sin512()
 COS_TABLE512 = SIN_TABLE512[(np.arange(512) + 128) % 512]
 
-
-def packed_trig_table() -> np.ndarray:
-    """int32 table: (cos & 0xFFFF) << 16 | (sin & 0xFFFF).
-
-    Unpack in the kernel with arithmetic shifts:
-      cos = packed >> 16 ; sin = (packed << 16) >> 16.
-    """
-    cos16 = COS_TABLE512.astype(np.int64) & 0xFFFF
-    sin16 = SIN_TABLE512.astype(np.int64) & 0xFFFF
-    return ((cos16 << 16) | sin16).astype(np.uint32).view(np.int32)

@@ -151,12 +151,12 @@ def run_epoch_range(scn: Scenario, fp: BinaryIO, lo: int, hi: int,
             out.copy_to_host_async()
         except AttributeError:
             pass
+        stats.plan_seconds += time.time() - t_plan  # host plan + dispatch
         if len(pending) >= queue_depth:
-            flush(pending.popleft())
+            flush(pending.popleft())  # timed as fetch/write, not plan
         pending.append((out, b))
         stats.device_batches += 1
         stats.total_samples += b * n
-        stats.plan_seconds += time.time() - t_plan
         t_into = (seg.first_epoch + e1 - 1) * 0.1
         log(f"\rTime into run = {t_into:4.1f}")
 

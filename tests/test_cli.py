@@ -73,3 +73,33 @@ def test_satellite_trajectory_motion_size(tmp_path, capsys):
     assert rc == 0
     # numd-1 output epochs, like the reference (300 s circle -> 2999).
     assert out.stat().st_size == 3 * 100000 * 4
+
+
+def test_negative_coordinates_accepted(tmp_path):
+    """getopt compatibility: -c/-l operands may start with a minus sign."""
+    out = tmp_path / "west.bin"
+    rc = main(["-e", NAV, "-c", "-2694685.473,-4293642.366,3857878.924",
+               "-d", "0.3", "-s", "1000000", "--impl", "xla",
+               "--batch-epochs", "2", "-o", str(out)])
+    assert rc == 0 and out.stat().st_size > 0
+
+
+def test_static_location_wins_over_motion_file(tmp_path, capsys):
+    """Reference precedence: staticLocationMode gates the motion read
+    entirely (gpssim.c:1887), so -l + -u behaves as static."""
+    a, b = tmp_path / "a.bin", tmp_path / "b.bin"
+    base = ["-e", NAV, "-d", "0.3", "-s", "1000000", "--impl", "xla",
+            "--batch-epochs", "2"]
+    assert main([*base, "-l", "35.681298,139.766247,10.0",
+                 "-u", "data/circle.csv", "-o", str(a)]) == 0
+    assert "static location" in capsys.readouterr().err
+    assert main([*base, "-l", "35.681298,139.766247,10.0",
+                 "-o", str(b)]) == 0
+    assert a.read_bytes() == b.read_bytes()
+
+
+def test_missing_motion_file_error(capsys):
+    rc = main(["-e", NAV, "-u", "no_such_file.csv", "-d", "0.3"])
+    assert rc == 1
+    assert "Failed to open user motion / NMEA GGA file." \
+        in capsys.readouterr().err

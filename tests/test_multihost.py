@@ -40,10 +40,14 @@ def test_two_process_sharded_run_matches_single(tmp_path):
 
     port = _free_port()
     shard_dir = tmp_path / "shards"
+    multi = tmp_path / "multi.bin"
+    # --concat goes through the cross-process barrier and is performed by
+    # process 0 only, after every host's shards are complete.
     procs = [
         subprocess.Popen(
             [sys.executable, "-m", "gps_sdr_sim_tpu.cli", *ARGS,
-             "--shard-dir", str(shard_dir), "--shards", "4",
+             "-o", str(multi), "--shard-dir", str(shard_dir),
+             "--shards", "4", "--concat",
              "--multihost", f"127.0.0.1:{port},{pid},2"],
             cwd=ROOT, env=env, stdout=subprocess.PIPE,
             stderr=subprocess.PIPE)
@@ -53,12 +57,10 @@ def test_two_process_sharded_run_matches_single(tmp_path):
         _, err = p.communicate(timeout=300)
         assert p.returncode == 0, err.decode()
 
-    from gps_sdr_sim_tpu.parallel.writer import Manifest, concat_shards
+    from gps_sdr_sim_tpu.parallel.writer import Manifest
 
     manifest = Manifest.load(str(shard_dir / "manifest.json"))
     assert len(manifest.shards) == 4
-    multi = tmp_path / "multi.bin"
-    concat_shards(str(shard_dir), str(multi))
 
     a = np.fromfile(single, np.int16)
     b = np.fromfile(multi, np.int16)
