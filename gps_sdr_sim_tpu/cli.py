@@ -244,6 +244,17 @@ def main(argv=None) -> int:
             print(f"{prn:02d} {az:6.1f} {el:5.1f} {d:11.1f} {iono:5.1f}",
                   file=sys.stderr)
 
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        # An installed TPU PJRT plugin can win platform selection even when
+        # JAX_PLATFORMS is set; pin the user's choice through jax.config.
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass  # backend already initialized (e.g. --multihost)
+
     from gps_sdr_sim_tpu.utils.compcache import enable as enable_cache
     enable_cache()
     from gps_sdr_sim_tpu.runner import run_simulation

@@ -103,3 +103,33 @@ def test_missing_motion_file_error(capsys):
     assert rc == 1
     assert "Failed to open user motion / NMEA GGA file." \
         in capsys.readouterr().err
+
+
+def test_stdout_pipes_into_native_player(tmp_path):
+    """The L5->L6 handoff as a live pipe: CLI -o - | gps-sdr-player -f -."""
+    import pathlib
+    import subprocess
+    import sys as _sys
+
+    player = pathlib.Path("tools/gps-sdr-player")
+    if not player.exists():
+        subprocess.run(["make", "-C", "tools"], check=True,
+                       capture_output=True)
+    out = tmp_path / "piped.bin"
+    gen = subprocess.Popen(
+        [_sys.executable, "-m", "gps_sdr_sim_tpu.cli", "-e", NAV,
+         "-l", "35.681298,139.766247,10.0", "-d", "0.3", "-s", "1000000",
+         "--impl", "xla", "--batch-epochs", "2", "-o", "-"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+    play = subprocess.run(
+        [str(player), "-f", "-", "-b", "16", "-B", "file", "-o", str(out)],
+        stdin=gen.stdout, capture_output=True, timeout=300)
+    assert gen.wait(timeout=300) == 0
+    assert play.returncode == 0, play.stderr.decode()
+    # 2 epochs of SC16 passed through the player unmodified (+ trailing pad).
+    direct = tmp_path / "direct.bin"
+    assert main(["-e", NAV, "-l", "35.681298,139.766247,10.0", "-d", "0.3",
+                 "-s", "1000000", "--impl", "xla", "--batch-epochs", "2",
+                 "-o", str(direct)]) == 0
+    want = direct.read_bytes()
+    assert out.read_bytes()[:len(want)] == want
