@@ -20,6 +20,7 @@
 #include <string>
 
 #include "playerfmt.h"
+#include "sdr_backends.h"
 
 namespace {
 
@@ -47,8 +48,13 @@ void usage() {
           " in (default: 0; use 4 for a 12-bit DAC)\n"
           "  -a <amp>    1-bit expansion amplitude (default: 2047)\n"
           "  -n <samp>   buffer size in samples (default: 32768)\n"
-          "  -B <name>   backend: file or null (default: file)\n"
-          "  -o <file>   backend=file output path ('-' for stdout)\n");
+          "  -B <name>   backend: file, null, bladerf, hackrf, lime,"
+          " pluto (default: file;\n"
+          "              vendor backends need their SDK at build time)\n"
+          "  -o <file>   backend=file output path ('-' for stdout)\n"
+          "  -F <hz>     TX center frequency (default: 1575420000)\n"
+          "  -r <hz>     TX sample rate (default: 2600000)\n"
+          "  -g <gain>   TX gain, vendor units (default: -25)\n");
 }
 
 }  // namespace
@@ -61,6 +67,7 @@ int main(int argc, char** argv) {
   int shift = 0;
   long amplitude = 2047;
   long buf_samples = 32768;
+  SdrConfig rf;
 
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
@@ -78,11 +85,16 @@ int main(int argc, char** argv) {
     else if (a == "-n") buf_samples = atol(next());
     else if (a == "-B") backend = next();
     else if (a == "-o") out_path = next();
+    else if (a == "-F") rf.frequency_hz = atof(next());
+    else if (a == "-r") rf.sample_rate_hz = atof(next());
+    else if (a == "-g") rf.tx_gain = atoi(next());
     else { usage(); return 1; }
   }
 
+  const SdrBackend* sdr = sdr_backend(backend.c_str());
   if (in_path == nullptr || (bits != 1 && bits != 8 && bits != 16) ||
-      buf_samples <= 0 || (backend != "file" && backend != "null")) {
+      buf_samples <= 0 ||
+      (backend != "file" && backend != "null" && sdr == nullptr)) {
     usage();
     return 1;
   }
@@ -95,6 +107,9 @@ int main(int argc, char** argv) {
 
   FileSink sink{nullptr};
   FILE* out = nullptr;
+  void* sdr_state = nullptr;
+  pf_sink_fn sink_fn = write_sink;
+  void* sink_user = &sink;
   if (backend == "file") {
     out = (strcmp(out_path, "-") == 0) ? stdout : fopen(out_path, "wb");
     if (out == nullptr) {
@@ -102,10 +117,20 @@ int main(int argc, char** argv) {
       return 1;
     }
     sink.fp = out;
+  } else if (sdr != nullptr && backend != "null") {
+    const char* error = nullptr;
+    sdr_state = sdr->open(rf, &error);
+    if (sdr_state == nullptr) {
+      fprintf(stderr, "ERROR: %s.\n", error);
+      return 1;
+    }
+    sink_fn = sdr->send;
+    sink_user = sdr_state;
   }
 
   int rc = pf_stream(in, bits, shift, static_cast<int16_t>(amplitude),
-                     static_cast<size_t>(buf_samples), write_sink, &sink);
+                     static_cast<size_t>(buf_samples), sink_fn, sink_user);
+  if (sdr_state != nullptr) sdr->close(sdr_state);
 
   if (in != stdin) fclose(in);
   if (out != nullptr && out != stdout) fclose(out);
