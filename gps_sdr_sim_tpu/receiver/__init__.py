@@ -15,6 +15,7 @@ transmitted nav message — runs in tests/test_receiver.py.
 
 from gps_sdr_sim_tpu.receiver.frontend import load_iq
 from gps_sdr_sim_tpu.receiver.acquire import acquire
+from gps_sdr_sim_tpu.receiver.acquire_mxu import acquire_mxu
 from gps_sdr_sim_tpu.receiver.track import track
 from gps_sdr_sim_tpu.receiver.navdec import (
     bit_sync,
@@ -23,5 +24,5 @@ from gps_sdr_sim_tpu.receiver.navdec import (
     parity_ok,
 )
 
-__all__ = ["load_iq", "acquire", "track", "bit_sync", "decode_bits",
-           "frame_sync", "parity_ok"]
+__all__ = ["load_iq", "acquire", "acquire_mxu", "track", "bit_sync",
+           "decode_bits", "frame_sync", "parity_ok"]

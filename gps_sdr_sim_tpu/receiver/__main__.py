@@ -36,15 +36,20 @@ def main(argv=None) -> int:
         ap.error("--pvt requires --track SECONDS (>=19 s of signal to "
                  "decode subframes 1-3)")
 
-    from gps_sdr_sim_tpu.receiver import (acquire, bit_sync, decode_bits,
-                                          frame_sync, load_iq, track)
+    from gps_sdr_sim_tpu.receiver import (acquire, acquire_mxu, bit_sync,
+                                          decode_bits, frame_sync, load_iq,
+                                          track)
+    from gps_sdr_sim_tpu.receiver.device import _complex_supported
 
     n = int(max(ns.acq_seconds, ns.track) * ns.samp_freq)
     x = load_iq(ns.file, ns.bits, count=n)
     print(f"loaded {len(x):,} samples ({len(x) / ns.samp_freq:.2f} s)",
           file=sys.stderr)
 
-    acq = acquire(x, ns.samp_freq, dopp_step=ns.dopp_step)
+    # FFT search needs complex64; fall to the int8-matmul (MXU) search on
+    # backends without it. Results are interchangeable (tested).
+    search = acquire if _complex_supported() else acquire_mxu
+    acq = search(x, ns.samp_freq, dopp_step=ns.dopp_step)
     print("PRN  doppler[Hz]  code_phase[samp]  metric")
     for a in acq:
         if a.detected:

@@ -17,16 +17,23 @@ from functools import lru_cache
 @lru_cache(maxsize=None)
 def _complex_supported() -> bool:
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     if jax.default_backend() == "cpu":
         return True
-    try:
-        np.asarray(jnp.zeros((2,), jnp.complex64) + 1j)
-        return True
-    except Exception:
-        return False
+    # Probe in a SUBPROCESS: on backends that reject complex (e.g. the
+    # tunneled 'axon' plugin) a failed complex transfer poisons the live
+    # client — every subsequent transfer errors — so the probe must not
+    # run in this process. Complex compiles succeed even where execution
+    # fails, so a compile-only probe can't detect this either.
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import numpy, jax.numpy as jnp; "
+         "numpy.asarray(jnp.zeros((2,), jnp.complex64) + 1j)"],
+        capture_output=True, timeout=300)
+    return r.returncode == 0
 
 
 def rx_device():

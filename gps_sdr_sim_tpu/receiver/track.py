@@ -55,7 +55,11 @@ def _track_fn(s: int, pll_bw: float, dll_bw: float):
     ki_d, kp_d = _loop_gains(dll_bw, T)
 
     def step(state, x_ms, ca, f_basis, fs):
+        # All-real arithmetic (re/im carried separately): some TPU PJRT
+        # backends reject complex dtypes outright, and the VPU prefers the
+        # explicit form anyway.
         chip_i, chip_f, carr_ph, f_wipe, i_pll, d_nco, i_dll = state
+        x_re, x_im = x_ms
         k = jnp.arange(s, dtype=jnp.float32)
 
         f_code = CODE_FREQ + f_wipe / 1540.0 + d_nco  # carrier-aided
@@ -68,18 +72,26 @@ def _track_fn(s: int, pll_bw: float, dll_bw: float):
                 CA_SEQ_LEN)
             return ca[j]
 
-        phase = carr_ph + k * (f_wipe / fs)
-        y = x_ms * jnp.exp(-2j * jnp.pi * phase)
+        phase = 2.0 * jnp.pi * (carr_ph + k * (f_wipe / fs))
+        c, sn = jnp.cos(phase), jnp.sin(phase)
+        # y = x * e^{-j phase}
+        y_re = x_re * c + x_im * sn
+        y_im = x_im * c - x_re * sn
 
-        E = jnp.sum(y * replica(jnp.float32(+_EL_SPACING)))
-        P = jnp.sum(y * replica(jnp.float32(0.0)))
-        L = jnp.sum(y * replica(jnp.float32(-_EL_SPACING)))
+        def corr(code):
+            return jnp.sum(y_re * code), jnp.sum(y_im * code)
+
+        e_re, e_im = corr(replica(jnp.float32(+_EL_SPACING)))
+        p_re, p_im = corr(replica(jnp.float32(0.0)))
+        l_re, l_im = corr(replica(jnp.float32(-_EL_SPACING)))
 
         # Costas discriminator (cycles), insensitive to nav-bit sign.
-        e_pll = jnp.arctan(P.imag / (P.real + 1e-12)) / (2.0 * jnp.pi)
+        e_pll = jnp.arctan(p_im / (p_re + 1e-12)) / (2.0 * jnp.pi)
         # Normalized non-coherent early-late envelope (chips).
-        ae, al = jnp.abs(E), jnp.abs(L)
+        ae = jnp.sqrt(e_re * e_re + e_im * e_im)
+        al = jnp.sqrt(l_re * l_re + l_im * l_im)
         e_dll = 0.5 * (ae - al) / (ae + al + 1e-12)
+        P = (p_re, p_im)
 
         i_pll = i_pll + e_pll
         f_wipe_next = f_basis + kp_p * e_pll + ki_p * i_pll
@@ -88,7 +100,7 @@ def _track_fn(s: int, pll_bw: float, dll_bw: float):
 
         # Output carries BLOCK-START state (phase before this block's
         # advance) — pvt.transmit_time depends on that convention.
-        out = (P, f_wipe, chip_i.astype(jnp.float32) + chip_f)
+        out = (P[0], P[1], f_wipe, chip_i.astype(jnp.float32) + chip_f)
 
         # Advance NCOs with the frequencies actually used this block.
         carr_ph = jnp.mod(carr_ph + s * (f_wipe / fs), 1.0)
@@ -103,12 +115,12 @@ def _track_fn(s: int, pll_bw: float, dll_bw: float):
     vstep = jax.vmap(step, in_axes=(0, None, 0, 0, None), out_axes=0)
 
     @jax.jit
-    def run(state0, x_blocks, ca, f_basis, fs):
+    def run(state0, x_re, x_im, ca, f_basis, fs):
         def body(st, x_ms):
             return vstep(st, x_ms, ca, f_basis, fs)
 
-        _, (P, dop, cph) = jax.lax.scan(body, state0, x_blocks)
-        return P, dop, cph
+        _, (p_re, p_im, dop, cph) = jax.lax.scan(body, state0, (x_re, x_im))
+        return p_re, p_im, dop, cph
 
     return run
 
@@ -137,15 +149,16 @@ def track(x: np.ndarray, fs: float, acq: Sequence[AcqResult],
 
     zeros = np.zeros(C, np.float32)
     x_blocks = np.asarray(x[:n_ms * s], np.complex64).reshape(n_ms, s)
+    x_re = np.ascontiguousarray(x_blocks.real, np.float32)
+    x_im = np.ascontiguousarray(x_blocks.imag, np.float32)
     run = _track_fn(s, pll_bw, dll_bw)
-    from gps_sdr_sim_tpu.receiver.device import rx_device
-    with rx_device():
-        state0 = tuple(jnp.asarray(a) for a in
-                       (chip_i, chip_f, zeros, f0, zeros, zeros, zeros))
-        P, dop, cph = jax.device_get(
-            run(state0, jnp.asarray(x_blocks), jnp.asarray(ca),
-                jnp.asarray(f0), jnp.float32(fs)))
+    state0 = tuple(jnp.asarray(a) for a in
+                   (chip_i, chip_f, zeros, f0, zeros, zeros, zeros))
+    p_re, p_im, dop, cph = jax.device_get(
+        run(state0, jnp.asarray(x_re), jnp.asarray(x_im), jnp.asarray(ca),
+            jnp.asarray(f0), jnp.float32(fs)))
 
     return TrackResult(
         prns=np.array([a.prn for a in acq], np.int32),
-        prompt=P, doppler=dop, code_phase=cph)
+        prompt=(p_re + 1j * p_im).astype(np.complex64),
+        doppler=dop, code_phase=cph)

@@ -202,3 +202,17 @@ def test_dynamic_trajectory_tracking():
             planned = seg.f_carr[min(t_ms // 100, seg.n_epochs - 1), col]
             got = float(np.mean(res.doppler[t_ms:t_ms + 100, c]))
             assert abs(got - planned) < 5.0, (prn, t_ms, got, planned)
+
+
+def test_mxu_acquisition_matches_fft(scenario, iq, acq):
+    """The int8-matmul search must agree with the FFT search."""
+    from gps_sdr_sim_tpu.receiver import acquire_mxu
+
+    got = acquire_mxu(iq, FS, dopp_step=50.0, n_blocks=4)
+    by_prn = {a.prn: a for a in acq}
+    for g in got:
+        f = by_prn[g.prn]
+        assert g.detected == f.detected, (g, f)
+        if g.detected:
+            assert g.code_phase == f.code_phase, (g, f)
+            assert abs(g.doppler - f.doppler) < 20.0, (g, f)
