@@ -36,8 +36,7 @@ def main(argv=None) -> int:
         ap.error("--pvt requires --track SECONDS (>=19 s of signal to "
                  "decode subframes 1-3)")
 
-    from gps_sdr_sim_tpu.receiver import (acquire, acquire_mxu, bit_sync,
-                                          decode_bits, frame_sync, load_iq,
+    from gps_sdr_sim_tpu.receiver import (acquire, acquire_mxu, load_iq,
                                           track)
     from gps_sdr_sim_tpu.receiver.device import _complex_supported
 
@@ -57,13 +56,13 @@ def main(argv=None) -> int:
                   f"  {a.metric:7.1f}")
 
     if ns.track > 0:
+        from gps_sdr_sim_tpu.receiver.pvt import channel_frames
+
         res = track(x, ns.samp_freq, acq)
+        frames = channel_frames(res)  # one decode, shared with --pvt
         print("\nPRN  doppler[Hz]  subframes  TOW[s]        week")
         for c, prn in enumerate(res.prns):
-            p = res.prompt[:, c]
-            off = bit_sync(p)
-            bits = decode_bits(p, off)
-            sbfs = frame_sync(bits)
+            _off, _bits, sbfs = frames[c]
             tows = ",".join(f"{s.tow_sec:.0f}" for s in sbfs) or "-"
             weeks = ",".join(str(s.week) for s in sbfs
                              if s.week is not None) or "-"
@@ -75,7 +74,7 @@ def main(argv=None) -> int:
             from gps_sdr_sim_tpu.receiver.pvt import observables, solve
             from gps_sdr_sim_tpu.utils.coord import xyz2llh
 
-            obs, ionoutc = observables(res)
+            obs, ionoutc = observables(res, frames=frames)
             sol = solve(obs, ionoutc)
             llh = xyz2llh(sol.xyz)
             print(f"\nPVT fix ({sol.n_sats} sats, {sol.iterations} iter):")

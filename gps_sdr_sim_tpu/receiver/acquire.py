@@ -95,32 +95,25 @@ def _fine_doppler(x: np.ndarray, fs: float, code: np.ndarray,
     return coarse + float(f[int(np.argmax(spec))]) / 2.0
 
 
-def acquire(x: np.ndarray, fs: float,
-            prns: Optional[Sequence[int]] = None,
-            dopp_max: float = 5000.0, dopp_step: float = 250.0,
-            n_blocks: int = 4, threshold: float = 12.0,
-            fine: bool = True) -> List[AcqResult]:
-    """Search `prns` (default 1..32) in baseband samples x (>= n_blocks ms)."""
+def search_prep(x: np.ndarray, fs: float, prns: Optional[Sequence[int]],
+                dopp_max: float, dopp_step: float, n_blocks: int):
+    """Shared search setup: PRN list, 1 ms size, Doppler grid, ms blocks."""
     if prns is None:
         prns = range(1, 33)
     prns = list(prns)
     s = int(round(fs * 1e-3))
     if len(x) < n_blocks * s:
         raise ValueError(f"need {n_blocks} ms of samples, got {len(x)/s:.2f}")
-
     codes = sampled_codes(fs)[[p - 1 for p in prns]]
-    code_fft = np.fft.fft(codes, axis=-1).astype(np.complex64)
     dopp = np.arange(-dopp_max, dopp_max + dopp_step / 2, dopp_step,
                      dtype=np.float32)
     xb = np.asarray(x[:n_blocks * s], np.complex64).reshape(n_blocks, s)
+    return prns, s, codes, dopp, xb
 
-    run = _acq_fn(s, len(dopp), n_blocks)
-    from gps_sdr_sim_tpu.receiver.device import rx_device
-    with rx_device():
-        peak, arg, mean = jax.device_get(
-            run(jnp.asarray(xb), jnp.asarray(code_fft), jnp.asarray(dopp),
-                jnp.float32(fs)))
 
+def assemble_results(x, fs, prns, codes, s, dopp, peak, arg, mean,
+                     threshold: float, fine: bool) -> List[AcqResult]:
+    """Shared detection contract: peak/arg/mean per PRN -> AcqResults."""
     out = []
     for i, prn in enumerate(prns):
         d_idx, c_idx = divmod(int(arg[i]), s)
@@ -129,8 +122,29 @@ def acquire(x: np.ndarray, fs: float,
         fd = float(dopp[d_idx])
         if detected and fine:
             fd = _fine_doppler(np.asarray(x, np.complex64), fs,
-                               codes[i], c_idx, fd)
+                               codes[i].astype(np.float32), c_idx, fd)
         out.append(AcqResult(
             prn=prn, doppler=fd, code_phase=float(c_idx),
             metric=metric, detected=detected))
     return out
+
+
+def acquire(x: np.ndarray, fs: float,
+            prns: Optional[Sequence[int]] = None,
+            dopp_max: float = 5000.0, dopp_step: float = 250.0,
+            n_blocks: int = 4, threshold: float = 12.0,
+            fine: bool = True) -> List[AcqResult]:
+    """Search `prns` (default 1..32) in baseband samples x (>= n_blocks ms)."""
+    prns, s, codes, dopp, xb = search_prep(x, fs, prns, dopp_max, dopp_step,
+                                           n_blocks)
+    code_fft = np.fft.fft(codes, axis=-1).astype(np.complex64)
+
+    run = _acq_fn(s, len(dopp), n_blocks)
+    from gps_sdr_sim_tpu.receiver.device import rx_device
+    with rx_device():
+        peak, arg, mean = jax.device_get(
+            run(jnp.asarray(xb), jnp.asarray(code_fft), jnp.asarray(dopp),
+                jnp.float32(fs)))
+
+    return assemble_results(x, fs, prns, codes, s, dopp, peak, arg, mean,
+                            threshold, fine)

@@ -26,8 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gps_sdr_sim_tpu.receiver.acquire import (AcqResult, _fine_doppler,
-                                              sampled_codes)
+from gps_sdr_sim_tpu.receiver.acquire import (AcqResult, assemble_results,
+                                              search_prep)
 
 
 @lru_cache(maxsize=None)
@@ -38,8 +38,10 @@ def _acq_mxu_fn(s: int, n_dopp: int, n_blocks: int, n_prn: int):
         t = jnp.arange(s, dtype=jnp.float32) / fs
         ang = 2.0 * jnp.pi * dopp_hz[:, None] * t[None, :]
         c, sn = jnp.cos(ang), jnp.sin(ang)
-        # wipe = x * e^{-j 2 pi f t}, quantized to int8 at 1/16 LSB of the
-        # SC16 scale (acquisition needs correlation gain, not precision).
+        # wipe = x * e^{-j 2 pi f t}, then max-normalized into int8
+        # (acquisition needs correlation gain across ~2048 samples, not
+        # per-sample precision; the int8 quantization noise is ~40 dB
+        # below the coherent peak).
         w_re = x_re[None] * c[:, None, :] + x_im[None] * sn[:, None, :]
         w_im = x_im[None] * c[:, None, :] - x_re[None] * sn[:, None, :]
         w = jnp.stack([w_re, w_im], axis=2)  # [D, B, 2, S]
@@ -74,34 +76,15 @@ def acquire_mxu(x: np.ndarray, fs: float,
                 n_blocks: int = 4, threshold: float = 12.0,
                 fine: bool = True) -> List[AcqResult]:
     """Drop-in alternative to acquire() that runs on the MXU, complex-free."""
-    if prns is None:
-        prns = range(1, 33)
-    prns = list(prns)
-    s = int(round(fs * 1e-3))
-    if len(x) < n_blocks * s:
-        raise ValueError(f"need {n_blocks} ms of samples, got {len(x)/s:.2f}")
-
-    codes = sampled_codes(fs)[[p - 1 for p in prns]].astype(np.int8)
-    dopp = np.arange(-dopp_max, dopp_max + dopp_step / 2, dopp_step,
-                     dtype=np.float32)
-    xb = np.asarray(x[:n_blocks * s], np.complex64).reshape(n_blocks, s)
+    prns, s, codes, dopp, xb = search_prep(x, fs, prns, dopp_max, dopp_step,
+                                           n_blocks)
+    codes8 = codes.astype(np.int8)
 
     run = _acq_mxu_fn(s, len(dopp), n_blocks, len(prns))
     peak, arg, mean = jax.device_get(run(
         jnp.asarray(np.ascontiguousarray(xb.real, np.float32)),
         jnp.asarray(np.ascontiguousarray(xb.imag, np.float32)),
-        jnp.asarray(codes), jnp.asarray(dopp), jnp.float32(fs)))
+        jnp.asarray(codes8), jnp.asarray(dopp), jnp.float32(fs)))
 
-    out = []
-    for i, prn in enumerate(prns):
-        d_idx, c_idx = divmod(int(arg[i]), s)
-        metric = float(peak[i] / mean[i])
-        detected = metric > threshold
-        fd = float(dopp[d_idx])
-        if detected and fine:
-            fd = _fine_doppler(np.asarray(x, np.complex64), fs,
-                               codes[i].astype(np.float32), c_idx, fd)
-        out.append(AcqResult(
-            prn=prn, doppler=fd, code_phase=float(c_idx),
-            metric=metric, detected=detected))
-    return out
+    return assemble_results(x, fs, prns, codes8, s, dopp, peak, arg, mean,
+                            threshold, fine)

@@ -104,6 +104,10 @@ def decode_ephemeris(sbf1: Subframe, sbf2: Subframe, sbf3: Subframe,
     if iode3 != e.iode:
         raise ValueError(f"IODE mismatch between subframes 2/3: "
                          f"{e.iode} vs {iode3}")
+    if e.iode != (e.iodc & 0xFF):
+        # ICD-GPS-200: IODE must equal the 8 LSBs of IODC; a mismatch means
+        # subframe 1 came from a different (e.g. pre-cutover) data set.
+        raise ValueError(f"IODE {e.iode} != IODC&0xFF {e.iodc & 0xFF}")
 
     # Subframe 1 carries only the 10 LSBs of the week; the GPS era (1024-
     # week rollover) is not recoverable from the signal. toe/toc keep the

@@ -44,9 +44,9 @@ class PvtSolution:
     iterations: int
 
 
-def _wrapdiff(a: float, b: float) -> float:
-    """a - b wrapped into (-511.5, 511.5] chips."""
-    return (a - b + 511.5) % CA_SEQ_LEN - 511.5
+def _wrapdiff_arr(d: np.ndarray) -> np.ndarray:
+    """Differences wrapped into (-511.5, 511.5] chips."""
+    return (d + 511.5) % CA_SEQ_LEN - 511.5
 
 
 def transmit_time(off: int, cph: np.ndarray, sbf, m: int) -> float:
@@ -61,17 +61,39 @@ def transmit_time(off: int, cph: np.ndarray, sbf, m: int) -> float:
     # within +-0.5 ms).
     c_off = float(cph[off])
     chips_at_off = c_off if c_off <= CA_SEQ_LEN / 2 else c_off - CA_SEQ_LEN
-    # One code period per block; cumulative Doppler drift stays far below
-    # half a period over any tracked span, so wrap counting is exact.
-    chips = (chips_at_off + CA_SEQ_LEN * (m - off)
-             + _wrapdiff(float(cph[m]), c_off))
+    # One code period per block. Wraps are counted incrementally: each
+    # block's drift is |f_carr|/1540 * 1 ms << half a period, so per-block
+    # wrapped differences are exact, and their sum tracks unbounded total
+    # drift (a single end-to-start wrapdiff would break once cumulative
+    # drift passed ~511 chips, ~2.5 min at 5 kHz Doppler).
+    lo, hi = (off, m) if m >= off else (m, off)
+    seg = cph[lo:hi + 1].astype(np.float64)
+    drift = float(np.sum(_wrapdiff_arr(np.diff(seg))))
+    if m < off:
+        drift = -drift
+    chips = chips_at_off + CA_SEQ_LEN * (m - off) + drift
     chips_since_sbf = chips - sbf.bit_index * 20 * CA_SEQ_LEN
     t_sbf_start = sbf.tow_sec - 6.0  # HOW TOW = start of the NEXT subframe
     return t_sbf_start + chips_since_sbf / CODE_FREQ
 
 
-def observables(res: TrackResult, m: Optional[int] = None
-                ) -> "tuple[List[ChannelObs], object]":
+def channel_frames(res: TrackResult):
+    """Per-channel (bit-sync offset, hard bits, decoded subframes).
+
+    Factored out so callers that also display the decode (the receiver
+    CLI's TOW/week table) share one decode with the PVT observables.
+    """
+    out = []
+    for c in range(res.prompt.shape[1]):
+        p = res.prompt[:, c]
+        off = bit_sync(p)
+        bits = decode_bits(p, off)
+        out.append((off, bits, frame_sync(bits)))
+    return out
+
+
+def observables(res: TrackResult, m: Optional[int] = None,
+                frames=None) -> "tuple[List[ChannelObs], object]":
     """Decode every channel and form its transmit-time observable.
 
     Returns (channels, ionoutc): ionoutc is decoded from the first
@@ -83,13 +105,12 @@ def observables(res: TrackResult, m: Optional[int] = None
     n_ms = res.prompt.shape[0]
     if m is None:
         m = n_ms - 2
+    if frames is None:
+        frames = channel_frames(res)
     out = []
     ionoutc = None
     for c, prn in enumerate(res.prns):
-        p = res.prompt[:, c]
-        off = bit_sync(p)
-        bits = decode_bits(p, off)
-        sbfs = frame_sync(bits)
+        off, _bits, sbfs = frames[c]
         eph = decode_all(sbfs)
         if ionoutc is None:
             for s in sbfs:
