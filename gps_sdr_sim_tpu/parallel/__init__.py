@@ -9,7 +9,10 @@ multi-host output and restart/resume.
 """
 
 from gps_sdr_sim_tpu.parallel.mesh import auto_mesh, make_mesh
-from gps_sdr_sim_tpu.parallel.shard import synth_batch_sharded
+from gps_sdr_sim_tpu.parallel.shard import (
+    synth_batch_sharded,
+    synth_pallas_sharded,
+)
 from gps_sdr_sim_tpu.parallel.writer import (
     Manifest,
     concat_shards,
@@ -21,6 +24,7 @@ __all__ = [
     "auto_mesh",
     "make_mesh",
     "synth_batch_sharded",
+    "synth_pallas_sharded",
     "Manifest",
     "concat_shards",
     "plan_epoch_shards",

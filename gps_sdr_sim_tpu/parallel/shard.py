@@ -103,3 +103,58 @@ def synth_batch_sharded(db: DeviceBatch, n_out: int, mesh: Mesh) -> jax.Array:
                          jax.default_backend())
     out = fn(*(jnp.asarray(getattr(db, f)) for f in _FIELDS))
     return out[:b_valid]
+
+
+# ---------------------------------------------------------------------------
+# Pallas fast path, time-sharded: the production pod configuration.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _get_sharded_pallas_fn(mesh: Mesh, n_chan: int):
+    from gps_sdr_sim_tpu.ops import synth_pallas
+
+    inner = synth_pallas._get_pallas_fn(n_chan)
+    fn = jax.shard_map(
+        lambda params, ca: inner(params, ca),
+        mesh=mesh,
+        in_specs=(P(TIME_AXIS, None), P(None, None)),
+        out_specs=(P(TIME_AXIS, None), P(TIME_AXIS, None)),
+        # pallas_call's out_shape can't carry the varying-mesh-axes info
+        # the vma checker wants; the specs above are the full contract.
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def synth_pallas_sharded(db: DeviceBatch, n_out: int, mesh: Mesh) -> jax.Array:
+    """Fused-kernel synthesis with sample rows sharded over the 'time' axis.
+
+    Rows (one per [epoch, sub-block]) are embarrassingly parallel, so the
+    fused kernel runs unchanged per shard with zero collectives — the pod
+    configuration for bulk generation. Channel ('chan') sharding needs the
+    pre-quantization psum and therefore the XLA path (synth_batch_sharded);
+    use a chan size of 1 here.
+    """
+    from gps_sdr_sim_tpu.constants import SUBBLOCK
+    from gps_sdr_sim_tpu.ops import synth_pallas
+
+    if mesh.shape[CHAN_AXIS] != 1:
+        raise ValueError("pallas sharding supports chan=1 meshes; use "
+                         "synth_batch_sharded for channel sharding")
+    n_time = mesh.shape[TIME_AXIS]
+    B, SB, C = db.t_base.shape
+    params = synth_pallas.pack_params(db)  # [rows_pad(TILE), C*32]
+
+    # Pad rows so every shard is a whole number of kernel tiles.
+    quantum = synth_pallas._TILE_ROWS * n_time
+    rows = params.shape[0]
+    rows_pad = -(-rows // quantum) * quantum
+    if rows_pad != rows:
+        params = np.pad(params, ((0, rows_pad - rows), (0, 0)))
+
+    fn = _get_sharded_pallas_fn(mesh, C)
+    i16, q16 = fn(jnp.asarray(params), jnp.asarray(db.ca_words))
+    n_rows = B * SB
+    iq = jnp.stack([i16[:n_rows].reshape(B, SB * SUBBLOCK),
+                    q16[:n_rows].reshape(B, SB * SUBBLOCK)], axis=-1)
+    return iq[:, :n_out]

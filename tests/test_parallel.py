@@ -129,3 +129,16 @@ def test_epoch_range_split_anywhere_bitexact(scenario):
         run_epoch_range(scenario, parts, k, n, batch_epochs=be,
                         log=lambda s: None, impl="xla")
         assert parts.getvalue() == whole.getvalue(), (k, be)
+
+
+@pytest.mark.parametrize("n_time", [2, 8])
+def test_pallas_sharded_matches_unsharded(scenario, batch, n_time):
+    """Fused-kernel rows sharded over 'time' == single-device kernel."""
+    from gps_sdr_sim_tpu.ops import synth_pallas
+    from gps_sdr_sim_tpu.parallel import synth_pallas_sharded
+
+    n = scenario.iq_buff_size
+    mesh = auto_mesh(n_time, 1)
+    got = np.asarray(synth_pallas_sharded(batch, n, mesh))
+    want = np.asarray(synth_pallas.synth_batch(batch, n))
+    np.testing.assert_array_equal(got, want)
