@@ -48,7 +48,8 @@ def _usage():
         "  -i               Disable ionospheric delay for spacecraft scenario\n"
         "  -v               Show details about simulated channels\n"
         "TPU extensions:\n"
-        "  --impl <name>       Kernel implementation: pallas (default) or xla\n"
+        "  --impl <name>       Kernel: pallas (default), xla, or\n"
+        "                      pallas-sharded/xla-sharded (all local chips)\n"
         "  --batch-epochs <n>  Epochs per device dispatch (default: 20)\n"
         "  --motion-size <n>   Max user-motion points (default: 3000)\n"
         "  --shard-dir <dir>   Write time-shard files + manifest to <dir>\n"
@@ -100,7 +101,9 @@ def parse_args(argv) -> tuple:
     ap.add_argument("-b", dest="bits", type=int, default=16)
     ap.add_argument("-i", dest="disable_iono", action="store_true")
     ap.add_argument("-v", dest="verbose", action="store_true")
-    ap.add_argument("--impl", default="pallas", choices=("pallas", "xla"))
+    ap.add_argument("--impl", default="pallas",
+                    choices=("pallas", "xla", "pallas-sharded",
+                             "xla-sharded"))
     ap.add_argument("--batch-epochs", type=int, default=20)
     ap.add_argument("--motion-size", type=int, default=USER_MOTION_SIZE)
     ap.add_argument("--shard-dir", default="")

@@ -106,8 +106,11 @@ def run_epoch_range(scn: Scenario, fp: BinaryIO, lo: int, hi: int,
                     impl: str = "pallas", queue_depth: int = 4) -> RunStats:
     """Synthesize output epochs [lo, hi) of `scn` into `fp`.
 
-    impl: "pallas" (fused kernel + on-device rebase; the TPU fast path) or
-    "xla" (pure jax.numpy kernel; correctness anchor, works everywhere).
+    impl: "pallas" (fused kernel + on-device rebase; the TPU fast path),
+    "xla" (pure jax.numpy kernel; correctness anchor, works everywhere),
+    or "pallas-sharded" / "xla-sharded" (same kernels sharded over ALL
+    local devices of a multi-chip host via parallel/shard.py — use
+    --shard-dir/--multihost for multi-process scaling instead).
 
     queue_depth batches stay in flight with device->host copies started
     eagerly (copy_to_host_async), so synthesis, the readback link, and the
@@ -116,6 +119,13 @@ def run_epoch_range(scn: Scenario, fp: BinaryIO, lo: int, hi: int,
     """
     if log is None:
         log = lambda s: print(s, end="", file=sys.stderr, flush=True)
+
+    mesh = None
+    if impl in ("pallas-sharded", "xla-sharded"):
+        from gps_sdr_sim_tpu.parallel import auto_mesh
+
+        mesh = auto_mesh()  # time-only mesh over all local devices
+        impl = impl.split("-")[0]
 
     n = scn.iq_buff_size
     fmt = scn.config.data_format
@@ -138,7 +148,16 @@ def run_epoch_range(scn: Scenario, fp: BinaryIO, lo: int, hi: int,
     for seg, e, e1 in iter_seg_batches(scn, lo, hi, batch_epochs):
         b = e1 - e
         t_plan = time.time()
-        if impl == "pallas":
+        if mesh is not None:
+            from gps_sdr_sim_tpu.parallel import (synth_batch_sharded,
+                                                  synth_pallas_sharded)
+
+            db = _pad_batch(plan_batch(seg, e, e1, n, scn.delt),
+                            batch_epochs)
+            synth = (synth_pallas_sharded if impl == "pallas"
+                     else synth_batch_sharded)
+            iq = synth(db, n, mesh)
+        elif impl == "pallas":
             eb = pad_epochs(plan_epochs(seg, e, e1, scn.delt),
                             batch_epochs)
             iq = synth_pallas.synth_epochs(eb, n)  # async dispatch

@@ -142,3 +142,15 @@ def test_pallas_sharded_matches_unsharded(scenario, batch, n_time):
     got = np.asarray(synth_pallas_sharded(batch, n, mesh))
     want = np.asarray(synth_pallas.synth_batch(batch, n))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("impl", ["xla-sharded", "pallas-sharded"])
+def test_runner_sharded_impls_match_single(scenario, impl):
+    """run_simulation over the full local (virtual) mesh == single device."""
+    ref = io.BytesIO()
+    run_simulation(scenario, ref, batch_epochs=2, log=lambda s: None,
+                   impl="xla")
+    got = io.BytesIO()
+    run_simulation(scenario, got, batch_epochs=2, log=lambda s: None,
+                   impl=impl)
+    assert got.getvalue() == ref.getvalue()
