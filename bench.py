@@ -41,9 +41,6 @@ _BASELINE_X = 4.4  # C reference, 1 CPU core, output -> /dev/null (BASELINE.md)
 # scenario (300 s circle.csv @ 2.6 Msps, batch-invariant because it's a sum
 # over all samples). Computed once with the xla impl on CPU, which matches the
 # committed IQ goldens (tests/test_iq_golden.py) vs the C oracle.
-_GOLDEN_CHECKSUM = None  # filled lazily from tests/golden/bench_checksum.txt
-
-
 def _golden_checksum():
     p = _ROOT / "tests" / "golden" / "bench_checksum.txt"
     if p.exists():

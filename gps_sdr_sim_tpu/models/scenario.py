@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import copy
 import math
-import time as _time
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -44,7 +43,6 @@ from gps_sdr_sim_tpu.constants import (
 from gps_sdr_sim_tpu.models.antenna import signal_gain
 from gps_sdr_sim_tpu.models.cacode import codegen
 from gps_sdr_sim_tpu.models.ephemeris import (
-    Ephemeris,
     IonoUtc,
     eph_field_arrays,
     read_rinex_nav_all,

@@ -290,7 +290,6 @@ def _get_epoch_fn(n_chan: int, sub_blocks: int, n_out: int):
 
 def synth_epochs(eb, n_out: int) -> jax.Array:
     """EpochBatch -> [B, n_out, 2] int16; rebase and synthesis on device."""
-    from gps_sdr_sim_tpu.ops.plan import EpochBatch  # noqa: F401
     sub_blocks = -(-n_out // SUBBLOCK)
     n_chan = max(eb.n_chan, 1)
     fn = _get_epoch_fn(n_chan, sub_blocks, n_out)

@@ -18,7 +18,7 @@ Correctness invariants (tested on a virtual 8-device CPU mesh):
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

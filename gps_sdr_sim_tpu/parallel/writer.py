@@ -19,7 +19,7 @@ from typing import List, Optional
 import jax
 
 from gps_sdr_sim_tpu.models.scenario import Scenario
-from gps_sdr_sim_tpu.runner import RunStats, run_epoch_range
+from gps_sdr_sim_tpu.runner import run_epoch_range
 
 
 def bytes_per_epoch(iq_buff_size: int, data_format: int) -> int:

@@ -12,16 +12,13 @@ from __future__ import annotations
 
 import sys
 import time
+from collections import deque
 from dataclasses import dataclass
 from typing import BinaryIO, Callable, Optional
 
 import numpy as np
 
-from gps_sdr_sim_tpu.models.scenario import (
-    Scenario,
-    ScenarioConfig,
-    build_scenario,
-)
+from gps_sdr_sim_tpu.models.scenario import Scenario
 from gps_sdr_sim_tpu.ops.plan import (
     DeviceBatch,
     pad_epochs,
@@ -131,8 +128,6 @@ def run_epoch_range(scn: Scenario, fp: BinaryIO, lo: int, hi: int,
     fmt = scn.config.data_format
     stats = RunStats()
     t_start = time.time()
-
-    from collections import deque
 
     pending = deque()  # (device_array, valid_epochs), oldest first
 

@@ -8,7 +8,7 @@ Behavioral parity targets: date2gps (gpssim.c:177-200), gps2date
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from gps_sdr_sim_tpu.constants import (
     SECONDS_IN_DAY,
