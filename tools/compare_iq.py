@@ -37,9 +37,11 @@ def main() -> int:
                     help="max fraction of mismatching samples")
     ap.add_argument("--max-delta", type=int, default=4,
                     help="max |error| in LSB")
-    ap.add_argument("--max-big", type=int, default=2,
-                    help="samples allowed above max-delta (chip-boundary "
-                         "flips in 1-bit streams)")
+    ap.add_argument("--max-big", type=int, default=-1,
+                    help="samples allowed above max-delta (default: scales "
+                         "with length, 2 + 1 per 25M values — isolated "
+                         "chip-boundary flips from the oracle's f64-NCO "
+                         "accumulation occur at roughly that rate)")
     ns = ap.parse_args()
 
     a, b = load(ns.file_a, ns.bits), load(ns.file_b, ns.bits)
@@ -51,8 +53,9 @@ def main() -> int:
     big = int(np.count_nonzero(d > ns.max_delta))
     hist = np.bincount(np.minimum(d, 16), minlength=17)
 
+    max_big = ns.max_big if ns.max_big >= 0 else 2 + n // 25_000_000
     ok = (not size_mismatch and mism / max(n, 1) <= ns.max_frac
-          and big <= ns.max_big)
+          and big <= max_big)
     print(json.dumps({
         "samples": n, "mismatches": mism,
         "fraction": round(mism / max(n, 1), 9), "max_delta": max_delta,

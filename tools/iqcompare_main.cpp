@@ -11,7 +11,10 @@
 //                  [--max-big N] <file_a> <file_b>
 //   max-frac:  max fraction of differing samples       (default 1e-4)
 //   max-delta: max |delta| for a "small" difference    (default 4)
-//   max-big:   max count of differences above max-delta (default 2)
+//   max-big:   max count of differences above max-delta (default: scales
+//              with length, 2 + 1 per 25M values — isolated chip-boundary
+//              flips from the oracle's f64-NCO accumulation occur at
+//              roughly that rate on long runs)
 
 #include <stdint.h>
 #include <stdio.h>
@@ -71,7 +74,7 @@ int main(int argc, char** argv) {
   int bits = 16;
   double max_frac = 1e-4;
   long max_delta = 4;
-  long max_big = 2;
+  long max_big = -1;  // <0: auto-scale with stream length
   const char* paths[2] = {nullptr, nullptr};
   int n_paths = 0;
 
@@ -123,7 +126,9 @@ int main(int argc, char** argv) {
 
   double frac = s.total ? static_cast<double>(s.mismatch) / s.total : 0.0;
   bool pass = !size_mismatch && frac <= max_frac &&
-              static_cast<long>(s.big) <= max_big;
+              static_cast<long>(s.big) <=
+                  (max_big >= 0 ? max_big
+                                : 2 + static_cast<long>(s.total / 25000000));
 
   printf("{\"samples\": %llu, \"mismatches\": %llu, \"fraction\": %.3e, "
          "\"max_delta\": %lld, \"big\": %llu, \"size_mismatch\": %s, "
