@@ -71,3 +71,33 @@ def test_35s_static_crosses_nav_carry_boundary(oracle_bin, tmp_path):
     # not isolated samples: check the post-boundary region specifically.
     post = d[int(2 * FS * 30.5):]
     assert np.count_nonzero(post) / post.size <= 1e-4
+
+
+def test_ephemeris_set_advance_matches_oracle(oracle_bin, tmp_path):
+    """Crossing a 2 h broadcast data-set cutover (gpssim.c:2307-2326).
+
+    Starting at 00:59:50, the 30 s cadence first sees the next set's toc
+    within one hour at 01:00:30, i.e. t=40 s: the run flips eph sets and
+    regenerates subframes mid-stream.
+    """
+    args = ["-e", NAV, "-l", LOC, "-t", "2014/12/20,00:59:50", "-d", "50",
+            "-s", str(int(FS))]
+    ref_out = tmp_path / "ref.bin"
+    subprocess.run([str(oracle_bin), *args, "-o", str(ref_out)],
+                   check=True, capture_output=True)
+
+    from gps_sdr_sim_tpu.cli import main
+
+    ours = tmp_path / "ours.bin"
+    assert main([*args, "--impl", "xla", "--batch-epochs", "10",
+                 "-o", str(ours)]) == 0
+
+    a = np.frombuffer(ours.read_bytes(), np.int16).astype(np.int32)
+    b = np.fromfile(ref_out, np.int16).astype(np.int32)
+    assert a.size == b.size
+    d = np.abs(a - b)
+    assert np.count_nonzero(d) / d.size <= 1e-4
+    assert int(np.count_nonzero(d > 8)) <= 2 + d.size // 25_000_000
+    # The region after the set flip must be just as clean.
+    post = d[int(2 * FS * 41):]
+    assert np.count_nonzero(post) / post.size <= 1e-4
