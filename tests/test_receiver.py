@@ -216,3 +216,12 @@ def test_mxu_acquisition_matches_fft(scenario, iq, acq):
         if g.detected:
             assert g.code_phase == f.code_phase, (g, f)
             assert abs(g.doppler - f.doppler) < 20.0, (g, f)
+
+
+def test_acquisition_on_1bit_capture(scenario, iq, acq):
+    """1-bit (sign-only) captures still acquire every visible satellite."""
+    x1 = np.where(iq.real > 0, 1.0, -1.0) + 1j * np.where(iq.imag > 0,
+                                                          1.0, -1.0)
+    got = acquire(x1.astype(np.complex64), FS, dopp_step=50.0)
+    want = {a.prn for a in acq if a.detected}
+    assert {a.prn for a in got if a.detected} == want
