@@ -139,7 +139,7 @@ class Scenario:
 
     @property
     def n_output_epochs(self) -> int:
-        return self.numd - 1
+        return max(self.numd - 1, 0)
 
     @property
     def total_samples(self) -> int:
@@ -157,7 +157,7 @@ def _epoch_times(g0: GpsTime, numd: int):
     total = g0_ms + 100 * np.arange(numd, dtype=np.int64)
     week = (total // _WEEK_MS).astype(np.int64)
     sec = (total % _WEEK_MS).astype(np.float64) / 1000.0
-    return week, sec, total
+    return week, sec
 
 
 def _resolve_start_time(cfg: ScenarioConfig, eph, neph, ionoutc: IonoUtc):
@@ -284,16 +284,17 @@ def build_scenario(cfg: ScenarioConfig) -> Scenario:
     ionoutc_file = copy.copy(ionoutc)
 
     g0, t0 = _resolve_start_time(cfg, eph, neph, ionoutc)
-    ieph = _select_ephem_set(eph, neph, g0)
 
-    # Epoch times and receiver positions.
-    grx_week, grx_sec, grx_ms = _epoch_times(g0, max(numd, 1))
+    # Epoch times and receiver positions. max(numd, 1): a zero-duration run
+    # still allocates channels from the first position and prints the
+    # channel table, writing no samples, like the reference.
+    grx_week, grx_sec = _epoch_times(g0, max(numd, 1))
     if static_mode:
         xyz_ep = np.broadcast_to(xyz[0], (max(numd, 1), 3))
     else:
-        xyz_ep = xyz[:numd]
+        xyz_ep = xyz[:max(numd, 1)]
 
-    engine = _Engine(cfg, eph, neph, ionoutc, g0, grx_week, grx_sec, grx_ms,
+    engine = _Engine(cfg, eph, neph, ionoutc, g0, grx_week, grx_sec,
                      xyz_ep, numd, iq_buff_size, delt)
     segments, tables = engine.run()
 
@@ -308,7 +309,7 @@ class _Engine:
     """Replays the reference epoch loop, recording device-ready state."""
 
     def __init__(self, cfg, eph, neph, ionoutc, g0, grx_week, grx_sec,
-                 grx_ms, xyz_ep, numd, iq_buff_size, delt):
+                 xyz_ep, numd, iq_buff_size, delt):
         self.cfg = cfg
         self.eph = eph
         self.neph = neph
@@ -316,7 +317,6 @@ class _Engine:
         self.g0 = g0
         self.grx_week = grx_week
         self.grx_sec = grx_sec
-        self.grx_ms = grx_ms
         self.xyz_ep = xyz_ep
         self.numd = numd
         self.N = iq_buff_size
@@ -406,7 +406,6 @@ class _Engine:
         is_boundary = (igrx % 300) == 0
 
         seg_start = 1
-        e = 1
         while seg_start <= self.numd - 1:
             # Segment runs until the next boundary (inclusive) or the end.
             end = seg_start

@@ -85,6 +85,73 @@ def _limbs8(x: np.ndarray, n: int = 7) -> np.ndarray:
     return out
 
 
+def _pack_navbits(bits_pm1: np.ndarray, m0: np.ndarray):
+    """(b0, navbits): the 8-bit nav window per (epoch, channel).
+
+    Within one epoch the ms counter advances by at most ~103 wraps, so bit
+    indices span [m0//20, (m0+103)//20] — at most 7 values; pack 8 bits
+    starting at b0 into one int per (epoch, channel).
+    """
+    b0 = m0 // 20
+    bit01 = (bits_pm1 + 1) // 2  # {-1,+1} -> {0,1}, [C, 1800]
+    j = np.arange(8, dtype=np.int64)
+    bidx = np.minimum(b0[..., None] + j, 1799)
+    window = np.take_along_axis(
+        np.broadcast_to(bit01[None], (m0.shape[0],) + bit01.shape),
+        bidx, axis=2)
+    navbits = np.sum(window.astype(np.int64) << j, axis=-1).astype(np.int32)
+    return b0, navbits
+
+
+def _pack_ca_words(ca_pm1: np.ndarray) -> np.ndarray:
+    """[C, 1023] chips in {-1,+1} -> [C, 32] int32, bit k of word w =
+    chip 32*w + k (the kernels' where-tree selects words, then bits)."""
+    key = ca_pm1.tobytes()
+    cached = _CA_WORDS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    chip01 = ((ca_pm1 + 1) // 2).astype(np.int64)
+    padded = np.zeros((chip01.shape[0], 1024), dtype=np.int64)
+    padded[:, :CA_SEQ_LEN] = chip01
+    k = np.arange(32, dtype=np.int64)
+    words = np.sum(padded.reshape(-1, 32, 32) << k, axis=-1)
+    words = words.astype(np.uint32).view(np.int32)
+    if len(_CA_WORDS_CACHE) > 64:
+        _CA_WORDS_CACHE.clear()
+    _CA_WORDS_CACHE[key] = words
+    return words
+
+
+_CA_WORDS_CACHE: dict = {}
+
+
+def pad_epoch_axis(batch, target_b: int):
+    """Pad any epoch-batch dataclass to `target_b` epochs.
+
+    Arrays whose leading axis is the epoch axis are edge-replicated —
+    except `gain`, which is zero-padded so padded epochs synthesize
+    silence; everything else (per-segment tables, scalars) passes through.
+    """
+    import dataclasses
+
+    b = batch.gain.shape[0]
+    if b == target_b:
+        return batch
+    pad = target_b - b
+    out = {}
+    for f in dataclasses.fields(batch):
+        v = getattr(batch, f.name)
+        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == b:
+            if f.name == "gain":
+                out[f.name] = np.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
+            else:
+                out[f.name] = np.pad(
+                    v, [(0, pad)] + [(0, 0)] * (v.ndim - 1), mode="edge")
+        else:
+            out[f.name] = v
+    return type(batch)(**out)
+
+
 def plan_batch(seg: Segment, e0: int, e1: int, iq_buff_size: int,
                delt: float) -> DeviceBatch:
     """Prepare epochs [e0, e1) of `seg` (segment-local indices)."""
@@ -114,25 +181,9 @@ def plan_batch(seg: Segment, e0: int, e1: int, iq_buff_size: int,
 
     gain = (seg.gain[e0:e1] * seg.active[None, :]).astype(np.int32)
 
-    # Nav-bit window: within one epoch the ms counter advances by at most
-    # ~103 wraps, so bit indices span [m0//20, (m0+103)//20] -- at most 7
-    # values. Pack them into one int per (epoch, channel).
     m0 = seg.m0[e0:e1].astype(np.int64)
-    b0 = m0 // 20
-    bit01 = (seg.bits + 1) // 2  # {-1,+1} -> {0,1}, [C, 1800]
-    j = np.arange(8, dtype=np.int64)
-    bidx = np.minimum(b0[..., None] + j, 1799)  # [B, C, 8]
-    window = np.take_along_axis(
-        np.broadcast_to(bit01[None], (e1 - e0,) + bit01.shape), bidx, axis=2)
-    navbits = np.sum(window.astype(np.int64) << j, axis=-1).astype(np.int32)
-
-    # C/A chips bit-packed: bit k of word w is chip (32*w + k), 1 -> +1.
-    chip01 = ((seg.ca + 1) // 2).astype(np.int64)  # [C, 1023] in {0,1}
-    padded = np.zeros((chip01.shape[0], 1024), dtype=np.int64)
-    padded[:, :CA_SEQ_LEN] = chip01
-    k = np.arange(32, dtype=np.int64)
-    ca_words = np.sum(padded.reshape(-1, 32, 32) << k, axis=-1)
-    ca_words = ca_words.astype(np.uint32).view(np.int32)
+    b0, navbits = _pack_navbits(seg.bits, m0)
+    ca_words = _pack_ca_words(seg.ca)
 
     return DeviceBatch(
         code_s=_limbs(s_code),
@@ -208,20 +259,8 @@ def plan_epochs(seg: Segment, e0: int, e1: int, delt: float,
     carr_f8 = _limbs8(
         ((carr_phase0 - np.floor(carr_phase0)) * _SCALE56).astype(np.int64), 8)
 
-    b0 = m0 // 20
-    bit01 = (bits + 1) // 2
-    j = np.arange(8, dtype=np.int64)
-    bidx = np.minimum(b0[..., None] + j, 1799)
-    window = np.take_along_axis(
-        np.broadcast_to(bit01[None], (e1 - e0,) + bit01.shape), bidx, axis=2)
-    navbits = np.sum(window.astype(np.int64) << j, axis=-1).astype(np.int32)
-
-    chip01 = ((ca + 1) // 2).astype(np.int64)
-    padded = np.zeros((chip01.shape[0], 1024), dtype=np.int64)
-    padded[:, :CA_SEQ_LEN] = chip01
-    k = np.arange(32, dtype=np.int64)
-    ca_words = np.sum(padded.reshape(-1, 32, 32) << k, axis=-1)
-    ca_words = ca_words.astype(np.uint32).view(np.int32)
+    b0, navbits = _pack_navbits(bits, m0)
+    ca_words = _pack_ca_words(ca)
 
     return EpochBatch(
         t0=t0f.astype(np.int32), code_f8=code_f8,
@@ -233,18 +272,4 @@ def plan_epochs(seg: Segment, e0: int, e1: int, delt: float,
 
 def pad_epochs(eb: EpochBatch, target_b: int) -> EpochBatch:
     """Pad an EpochBatch to `target_b` epochs (zero gain => silence)."""
-    b = eb.gain.shape[0]
-    if b == target_b:
-        return eb
-    pad = target_b - b
-
-    def pe(a):
-        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
-        return np.pad(a, widths, mode="edge")
-
-    return EpochBatch(
-        t0=pe(eb.t0), code_f8=pe(eb.code_f8), code_s8=pe(eb.code_s8),
-        carr_f8=pe(eb.carr_f8), carr_s8=pe(eb.carr_s8), m0=pe(eb.m0),
-        b0=pe(eb.b0), navbits=pe(eb.navbits),
-        gain=np.pad(eb.gain, [(0, pad), (0, 0)]),
-        ca_words=eb.ca_words, n_chan=eb.n_chan)
+    return pad_epoch_axis(eb, target_b)

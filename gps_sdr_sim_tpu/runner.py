@@ -21,6 +21,7 @@ import numpy as np
 from gps_sdr_sim_tpu.models.scenario import Scenario
 from gps_sdr_sim_tpu.ops.plan import (
     DeviceBatch,
+    pad_epoch_axis,
     pad_epochs,
     plan_batch,
     plan_epochs,
@@ -59,24 +60,7 @@ class RunStats:
 
 def _pad_batch(db: DeviceBatch, target_b: int) -> DeviceBatch:
     """Pad a batch to `target_b` epochs (zero gain => silent padding)."""
-    b = db.gain.shape[0]
-    if b == target_b:
-        return db
-    pad = target_b - b
-
-    def padarr(a, axis=0):
-        widths = [(0, 0)] * a.ndim
-        widths[axis] = (0, pad)
-        return np.pad(a, widths, mode="edge")
-
-    out = DeviceBatch(
-        code_s=padarr(db.code_s), carr_s=padarr(db.carr_s),
-        code_p=padarr(db.code_p), carr_p=padarr(db.carr_p),
-        t_base=padarr(db.t_base), m0=padarr(db.m0), b0=padarr(db.b0),
-        navbits=padarr(db.navbits),
-        gain=np.pad(db.gain, ((0, pad), (0, 0))),  # zeros: silent epochs
-        ca_words=db.ca_words)
-    return out
+    return pad_epoch_axis(db, target_b)
 
 
 def iter_seg_batches(scn: Scenario, lo: int, hi: int, batch_epochs: int):

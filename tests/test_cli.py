@@ -133,3 +133,14 @@ def test_stdout_pipes_into_native_player(tmp_path):
                  "-o", str(direct)]) == 0
     want = direct.read_bytes()
     assert out.read_bytes()[:len(want)] == want
+
+
+def test_zero_duration_dynamic_writes_nothing(tmp_path, capsys):
+    """-d 0 prints the channel table and writes no samples (no traceback)."""
+    out = tmp_path / "zero.bin"
+    rc = main(["-e", NAV, "-u", "data/circle.csv", "-d", "0", "-s",
+               "1000000", "--impl", "xla", "-o", str(out)])
+    assert rc == 0
+    assert out.stat().st_size == 0
+    err = capsys.readouterr().err
+    assert "Duration = 0.0" in err
