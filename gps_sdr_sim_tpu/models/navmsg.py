@@ -36,6 +36,7 @@ from gps_sdr_sim_tpu.constants import (
     POW2_M50,
     POW2_M55,
 )
+from gps_sdr_sim_tpu.utils.cstd import c_round
 from gps_sdr_sim_tpu.models.ephemeris import Ephemeris, IonoUtc
 from gps_sdr_sim_tpu.utils.gpstime import GpsTime
 
@@ -46,9 +47,8 @@ def _trunc(x: float) -> int:
 
 
 def _round_c(x: float) -> int:
-    """C round(): half away from zero."""
-    import math
-    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+    """C round() to int (shared semantics live in utils.cstd.c_round)."""
+    return int(c_round(x))
 
 
 def eph2sbf(eph: Ephemeris, ionoutc: IonoUtc) -> np.ndarray:

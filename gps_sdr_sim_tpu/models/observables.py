@@ -26,10 +26,14 @@ from gps_sdr_sim_tpu.utils.coord import (
 )
 
 
-def compute_range(eph: dict, ionoutc: IonoUtc, g_sec, xyz):
+def compute_range(eph: dict, ionoutc: IonoUtc, g_sec, xyz,
+                  llh=None, tmat=None):
     """Pseudorange observables for satellites in `eph` at times `g_sec`.
 
-    xyz: receiver ECEF, shape broadcastable to (..., 3).
+    xyz: receiver ECEF, shape broadcastable to (..., 3). llh/tmat: the
+    receiver's geodetic position and local-tangent matrix; pass them when
+    calling once per satellite for the same positions (the iterative
+    xyz2llh is the expensive part), or leave None to derive from xyz.
     Returns a dict of arrays: range (pseudorange incl. iono), rate,
     d (geometric distance), azel (..., 2), iono_delay.
     """
@@ -58,8 +62,10 @@ def compute_range(eph: dict, ionoutc: IonoUtc, g_sec, xyz):
     rate = dot_prod(vel, los) / rng
 
     # Azimuth/elevation in the receiver's local-tangent frame.
-    llh = xyz2llh(xyz)
-    tmat = ltcmat(llh)
+    if llh is None:
+        llh = xyz2llh(xyz)
+    if tmat is None:
+        tmat = ltcmat(llh)
     neu = ecef2neu(los, tmat)
     azel = neu2azel(neu)
 

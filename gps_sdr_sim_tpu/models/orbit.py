@@ -43,9 +43,8 @@ def satpos(eph: dict, g_sec):
     # Newton iteration with per-element stopping at |ek - ekold| <= 1e-14;
     # the final OneMinusecosE must come from the last *executed* update for
     # each element (gpssim.c:419-425).
-    ek = mk.copy() if isinstance(mk, np.ndarray) else np.asarray(mk)
-    shape = np.broadcast_shapes(np.shape(ek), np.shape(ecc))
-    ek = np.broadcast_to(ek, shape).copy()
+    shape = np.broadcast_shapes(np.shape(mk), np.shape(ecc))
+    ek = np.broadcast_to(mk, shape).copy()
     ecc_b = np.broadcast_to(ecc, shape)
     one_minus_ecos = np.zeros(shape, dtype=np.float64)
     active = np.ones(shape, dtype=bool)

@@ -50,7 +50,7 @@ from gps_sdr_sim_tpu.models.ephemeris import (
 from gps_sdr_sim_tpu.models.navmsg import dwrd_to_bits, eph2sbf, generate_nav_msg
 from gps_sdr_sim_tpu.models.observables import compute_range, sat_visibility
 from gps_sdr_sim_tpu.models.trajectory import read_nmea_gga, read_user_motion
-from gps_sdr_sim_tpu.utils.coord import llh2xyz
+from gps_sdr_sim_tpu.utils.coord import llh2xyz, ltcmat, xyz2llh
 from gps_sdr_sim_tpu.utils.gpstime import (
     DateTime,
     GpsTime,
@@ -342,6 +342,8 @@ class _Engine:
         grx = self._gps(e)
         fields = self._fields(self.ieph)
         xyz = self.xyz_ep[e]
+        llh = xyz2llh(xyz)
+        tmat = ltcmat(llh)
         vis, azel = sat_visibility(fields, grx.sec, xyz, 0.0)
 
         for sv in range(MAX_SAT):
@@ -360,7 +362,8 @@ class _Engine:
                         ch.g0 = generate_nav_msg(grx, ch.sbf, ch.dwrd, True)
 
                         one = {k: v[sv] for k, v in fields.items()}
-                        rho = compute_range(one, self.ionoutc, grx.sec, xyz)
+                        rho = compute_range(one, self.ionoutc, grx.sec, xyz,
+                                            llh=llh, tmat=tmat)
                         ch.rho0_range = float(rho["range"])
                         ch.rho0_gsec = grx.sec
                         ch.rho0_week = grx.week
@@ -440,6 +443,9 @@ class _Engine:
         bits = np.ones((C, 1800), dtype=np.int8)
 
         g_sec = self.grx_sec[start:end + 1]  # [E]
+        xyz_seg = self.xyz_ep[start:end + 1]
+        llh_seg = xyz2llh(xyz_seg)       # once per segment, not per channel
+        tmat_seg = ltcmat(llh_seg)
 
         for ci in range(C):
             ch = self.chan[ci]
@@ -447,8 +453,8 @@ class _Engine:
                 continue
             sv = ch.prn - 1
             one = {k: v[sv] for k, v in fields.items()}
-            rho = compute_range(one, self.ionoutc,
-                                g_sec, self.xyz_ep[start:end + 1])
+            rho = compute_range(one, self.ionoutc, g_sec, xyz_seg,
+                                llh=llh_seg, tmat=tmat_seg)
 
             # rho0 chain: previous epoch's range, then this segment's.
             rr = np.concatenate([[ch.rho0_range], rho["range"]])

@@ -12,7 +12,7 @@ import numpy as np
 
 from gps_sdr_sim_tpu.constants import R2D, USER_MOTION_SIZE
 from gps_sdr_sim_tpu.utils.coord import llh2xyz
-from gps_sdr_sim_tpu.utils.cstd import c_atof
+from gps_sdr_sim_tpu.utils.cstd import c_atof, c_strtod
 
 
 def read_user_motion(filename: str, max_points: int = USER_MOTION_SIZE) -> np.ndarray:
@@ -22,15 +22,17 @@ def read_user_motion(filename: str, max_points: int = USER_MOTION_SIZE) -> np.nd
         for line in fp:
             if len(rows) >= max_points:
                 break
+            # sscanf "%lf,%lf,%lf,%lf" prefix semantics: trailing junk
+            # after a number is fine; rows where any field fails to parse
+            # are skipped (the reference reads stale values there — UB we
+            # do not reproduce), and reading continues.
             parts = line.split(",")
             if len(parts) < 4:
-                break
-            try:
-                _t = float(parts[0])
-                x, y, z = float(parts[1]), float(parts[2]), float(parts[3])
-            except ValueError:
-                break
-            rows.append((x, y, z))
+                continue
+            vals = [c_strtod(p) for p in parts[:4]]
+            if not all(ok for _v, ok in vals):
+                continue
+            rows.append((vals[1][0], vals[2][0], vals[3][0]))
     return np.array(rows, dtype=np.float64).reshape(-1, 3)
 
 
@@ -41,6 +43,11 @@ def read_nmea_gga(filename: str, max_points: int = USER_MOTION_SIZE) -> np.ndarr
         for line in fp:
             token = line.split(",")
             if len(token) < 12 or len(token[0]) < 6 or token[0][3:6] != "GGA":
+                continue
+            # Skip no-fix sentences (empty lat/lon or fix quality 0): the
+            # reference crashes on these (strtok NULL); emitting the
+            # (0N, 0E) origin would corrupt the trajectory.
+            if not token[2] or not token[4] or token[6] in ("", "0"):
                 continue
             # Latitude ddmm.mmmm
             lat = c_atof(token[2][:2]) + c_atof(token[2][2:]) / 60.0

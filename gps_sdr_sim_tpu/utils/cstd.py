@@ -35,3 +35,11 @@ def c_atoi(s: str) -> int:
     if not m:
         return 0
     return int(m.group(1))
+
+
+def c_strtod(s: str):
+    """C strtod(): (value, ok) — ok is False when no conversion happened."""
+    m = _FLOAT_RE.match(s)
+    if not m:
+        return 0.0, False
+    return float(m.group(1)), True

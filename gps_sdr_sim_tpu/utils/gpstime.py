@@ -8,6 +8,8 @@ Behavioral parity targets: date2gps (gpssim.c:177-200), gps2date
 from __future__ import annotations
 
 import math
+
+from gps_sdr_sim_tpu.utils.cstd import c_round
 from dataclasses import dataclass
 
 from gps_sdr_sim_tpu.constants import (
@@ -91,7 +93,7 @@ def inc_gps_time(g0: GpsTime, dt: float) -> GpsTime:
     g1 = GpsTime(g0.week, g0.sec + dt)
     # C: g1.sec = round(g1.sec*1000.0)/1000.0 with round() = half away from 0.
     s = g1.sec * 1000.0
-    g1.sec = math.copysign(math.floor(abs(s) + 0.5), s) / 1000.0
+    g1.sec = float(c_round(s)) / 1000.0  # ms snap (gpssim.c:796)
     while g1.sec >= SECONDS_IN_WEEK:
         g1.sec -= SECONDS_IN_WEEK
         g1.week += 1
