@@ -58,16 +58,19 @@ def main(argv=None) -> int:
     if ns.track > 0:
         from gps_sdr_sim_tpu.receiver.pvt import channel_frames
 
+        from gps_sdr_sim_tpu.receiver.navdec import cn0_estimate
+
         res = track(x, ns.samp_freq, acq)
         frames = channel_frames(res)  # one decode, shared with --pvt
-        print("\nPRN  doppler[Hz]  subframes  TOW[s]        week")
+        print("\nPRN  doppler[Hz]  C/N0[dBHz]  subframes  TOW[s]        week")
         for c, prn in enumerate(res.prns):
             _off, _bits, sbfs = frames[c]
             tows = ",".join(f"{s.tow_sec:.0f}" for s in sbfs) or "-"
             weeks = ",".join(str(s.week) for s in sbfs
                              if s.week is not None) or "-"
-            print(f"{prn:3d}  {res.doppler[-1, c]:+10.1f}  {len(sbfs):9d}"
-                  f"  {tows:12s}  {weeks}")
+            cn0 = cn0_estimate(res.prompt[500:, c])
+            print(f"{prn:3d}  {res.doppler[-1, c]:+10.1f}  {cn0:10.1f}"
+                  f"  {len(sbfs):9d}  {tows:12s}  {weeks}")
 
         if ns.pvt:
             from gps_sdr_sim_tpu.constants import R2D

@@ -128,3 +128,26 @@ def _parse(words: np.ndarray, bits: np.ndarray, p: int) -> Subframe:
         week = (w3 >> 14) & 0x3FF       # D1..D10 of word 3
     return Subframe(bit_index=p, sbf_id=sbf_id, tow_sec=tow * 6.0,
                     week=week, words=words, bits=bits.astype(np.int8))
+
+
+def cn0_estimate(prompt: np.ndarray, fs_code: float = 1000.0,
+                 m: int = 20) -> float:
+    """C/N0 (dB-Hz) via the narrowband/wideband power-ratio method.
+
+    Standard NWPR estimator (Van Dierendonck): over blocks of m prompt
+    samples, NBP = |sum P|^2 captures coherent power, WBP = sum |P|^2
+    total power; mu = <NBP/WBP> relates to coherent SNR per 1/fs_code
+    integration. Used for the receiver CLI's per-channel C/N0 column (the
+    u-center screenshots' signal-level bars, SURVEY.md §4).
+    """
+    n = (len(prompt) // m) * m
+    if n < m:
+        return float("nan")
+    p = prompt[:n].reshape(-1, m)
+    wbp = np.sum(np.abs(p) ** 2, axis=1)
+    nbp = np.abs(np.sum(p, axis=1)) ** 2
+    mu = float(np.mean(nbp / np.maximum(wbp, 1e-30)))
+    if mu <= 1.0 or mu >= m:
+        return float("nan")
+    snr = (mu - 1.0) / (m - mu)
+    return 10.0 * np.log10(max(snr * fs_code, 1e-12))
