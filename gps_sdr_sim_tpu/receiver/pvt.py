@@ -49,18 +49,61 @@ def _wrapdiff_arr(d: np.ndarray) -> np.ndarray:
     return (d + 511.5) % CA_SEQ_LEN - 511.5
 
 
-def transmit_time(off: int, cph: np.ndarray, sbf, m: int) -> float:
+def _bit_edge_chips(prompt: np.ndarray, off: int, cph: np.ndarray) -> float:
+    """Chips from bit 0's leading edge to block `off`'s first sample.
+
+    The edge is a code wrap near the block-off boundary: either c0 chips
+    BEFORE the block start (the wrap whose phase we are c0 chips into) or
+    1023-c0 chips AFTER it. Bit sync is only block-accurate, so when the
+    wrap falls mid-block (c0 near 511) the nearest-wrap heuristic can pick
+    the wrong side — a 1 ms transmit-time error, ~300 km of pseudorange.
+    Disambiguate from the data: at every bit sign transition, the block
+    containing the edge has a diluted coherent sum. 'Before' puts the edge
+    in block off+20j-1, 'after' in block off+20j; compare |P| there,
+    averaged over all transitions.
+    """
+    c0 = float(cph[off])
+    # Clear zones: the wrap is close to the block boundary on one side, so
+    # bit sync's block-accuracy already decides (the other candidate would
+    # put the edge more than half a block away). The dilution test below
+    # would be deciding on noise here (neither block is meaningfully mixed).
+    if c0 <= CA_SEQ_LEN / 3:
+        return c0
+    if c0 >= 2 * CA_SEQ_LEN / 3:
+        return c0 - CA_SEQ_LEN
+    # Ambiguous middle: the edge is solidly inside block off-1 ('before')
+    # or block off ('after'); the mixed block's coherent sum is strongly
+    # diluted at every bit transition.
+    ip = np.real(prompt)
+    n_bits = (len(ip) - off) // 20
+    if n_bits >= 2:
+        sums = ip[off:off + n_bits * 20].reshape(n_bits, 20).sum(axis=1)
+        trans = np.nonzero(np.sign(sums[1:]) != np.sign(sums[:-1]))[0] + 1
+        trans = trans[off + 20 * trans < len(ip)]
+        if len(trans):
+            e = off + 20 * trans
+            before = np.abs(ip[e - 1])
+            after = np.abs(ip[np.minimum(e, len(ip) - 1)])
+            # Edge in the 'after' block => those samples are diluted.
+            if float(np.mean(after - before)) < 0:
+                return c0 - CA_SEQ_LEN
+            return c0
+    return c0 if c0 <= CA_SEQ_LEN / 2 else c0 - CA_SEQ_LEN
+
+
+def transmit_time(off: int, cph: np.ndarray, sbf, m: int,
+                  chips_at_off: Optional[float] = None) -> float:
     """SV transmit time (s of week) at the start of tracking block m.
 
     cph: per-block code phase [n_ms] of this channel (chips, 0..1023);
     off: the channel's bit-sync offset (blocks); sbf: a decoded subframe
-    whose bit_index locates its start in the channel's bit stream.
+    whose bit_index locates its start in the channel's bit stream;
+    chips_at_off: bit-edge anchor from _bit_edge_chips (falls back to the
+    nearest-wrap heuristic when not given).
     """
-    # Chips elapsed from bit 0's leading edge to block `off`'s first sample:
-    # the edge is the code wrap nearest the block boundary (bit sync puts it
-    # within +-0.5 ms).
     c_off = float(cph[off])
-    chips_at_off = c_off if c_off <= CA_SEQ_LEN / 2 else c_off - CA_SEQ_LEN
+    if chips_at_off is None:
+        chips_at_off = c_off if c_off <= CA_SEQ_LEN / 2 else c_off - CA_SEQ_LEN
     # One code period per block. Wraps are counted incrementally: each
     # block's drift is |f_carr|/1540 * 1 ms << half a period, so per-block
     # wrapped differences are exact, and their sum tracks unbounded total
@@ -120,7 +163,9 @@ def observables(res: TrackResult, m: Optional[int] = None,
                         break
         if eph is None or eph.svhlth:
             continue
-        tx = transmit_time(off, res.code_phase[:, c], sbfs[0], m)
+        cph = res.code_phase[:, c]
+        anchor = _bit_edge_chips(res.prompt[:, c], off, cph)
+        tx = transmit_time(off, cph, sbfs[0], m, chips_at_off=anchor)
         out.append(ChannelObs(prn=int(prn), tx_time=tx, eph=eph))
     return out, ionoutc
 

@@ -225,3 +225,37 @@ def test_acquisition_on_1bit_capture(scenario, iq, acq):
     got = acquire(x1.astype(np.complex64), FS, dopp_step=50.0)
     want = {a.prn for a in acq if a.detected}
     assert {a.prn for a in got if a.detected} == want
+
+
+def test_rover_pvt_fix_on_trajectory():
+    """Instantaneous PVT of a MOVING receiver (rtk/rover analogue).
+
+    The solver is single-epoch, so the fix must land on the trajectory at
+    the measurement instant. Also regression-guards the bit-edge
+    half-period ambiguity (pvt._bit_edge_chips): a wrong anchor on one
+    channel is a 1 ms transmit-time error, ~300 km of pseudorange.
+    """
+    from gps_sdr_sim_tpu.models.trajectory import read_user_motion
+    from gps_sdr_sim_tpu.receiver.pvt import observables, solve
+
+    cfg = ScenarioConfig(nav_file="data/brdc3540.14n",
+                         motion_file="data/circle.csv",
+                         duration=26.0, samp_freq=FS, data_format=16)
+    scn = build_scenario(cfg)
+    buf = io.BytesIO()
+    run_simulation(scn, buf, batch_epochs=16, impl="xla", log=lambda s: None)
+    x = load_iq(buf.getvalue(), 16)
+    res = track(x, FS, acquire(x, FS, dopp_step=50.0))
+    m = res.prompt.shape[0] - 2
+    obs, ionoutc = observables(res, m=m)
+    sol = solve(obs, ionoutc)
+
+    traj = read_user_motion("data/circle.csv")
+    t = 0.1 + m / 1000.0  # capture starts at scenario epoch 1
+    i0 = int(t * 10)
+    frac = t * 10 - i0
+    truth = traj[i0] * (1 - frac) + traj[min(i0 + 1, len(traj) - 1)] * frac
+    err = np.linalg.norm(sol.xyz - truth)
+    assert sol.n_sats >= 4
+    assert err < 10.0, f"rover position error {err:.2f} m"
+    assert np.max(np.abs(sol.residuals)) < 5.0
