@@ -32,6 +32,8 @@ def main() -> int:
     ap.add_argument("--chan-axis", type=int, default=1,
                     help="devices on the channel axis (rest go to time)")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--impl", default="xla", choices=("xla", "pallas"),
+                    help="pallas = fused-kernel rows over a time-only mesh")
     ns = ap.parse_args()
 
     from gps_sdr_sim_tpu.utils.compcache import enable as enable_cache
@@ -42,7 +44,8 @@ def main() -> int:
     from gps_sdr_sim_tpu.constants import R2D
     from gps_sdr_sim_tpu.models.scenario import ScenarioConfig, build_scenario
     from gps_sdr_sim_tpu.ops.plan import plan_batch
-    from gps_sdr_sim_tpu.parallel import auto_mesh, synth_batch_sharded
+    from gps_sdr_sim_tpu.parallel import (auto_mesh, synth_batch_sharded,
+                                          synth_pallas_sharded)
     from gps_sdr_sim_tpu.utils.coord import llh2xyz
 
     n_dev = len(jax.devices())
@@ -63,14 +66,18 @@ def main() -> int:
         mesh = auto_mesh(n, ns.chan_axis if n > 1 else 1)
         b = min(ns.epochs_per_device * n, seg.n_epochs)
         db = plan_batch(seg, 0, b, scn.iq_buff_size, scn.delt)
+        synth = (synth_pallas_sharded if ns.impl == "pallas"
+                 else synth_batch_sharded)
 
-        out = synth_batch_sharded(db, scn.iq_buff_size, mesh)
+        out = synth(db, scn.iq_buff_size, mesh)
         out.block_until_ready()  # compile warmup
         best = np.inf
         for _ in range(ns.repeats):
             t0 = time.time()
-            out = synth_batch_sharded(db, scn.iq_buff_size, mesh)
-            out.block_until_ready()
+            out = synth(db, scn.iq_buff_size, mesh)
+            # forced readback: block_until_ready is unreliable on some
+            # backends (see CLAUDE.md); a checksum has a data dependency
+            _ = int(np.asarray(out.astype(np.int32).sum()))
             best = min(best, time.time() - t0)
         rate = b * scn.iq_buff_size / best
         if base_rate is None:

@@ -259,3 +259,13 @@ def test_rover_pvt_fix_on_trajectory():
     assert sol.n_sats >= 4
     assert err < 10.0, f"rover position error {err:.2f} m"
     assert np.max(np.abs(sol.residuals)) < 5.0
+
+
+def test_cn0_estimates_are_plausible(tracked):
+    """NWPR C/N0 must be finite and ordered like the channel gains."""
+    from gps_sdr_sim_tpu.receiver.navdec import cn0_estimate
+
+    vals = [cn0_estimate(tracked.prompt[500:, c])
+            for c in range(tracked.prompt.shape[1])]
+    assert all(np.isfinite(v) for v in vals)
+    assert all(20.0 < v < 60.0 for v in vals), vals
