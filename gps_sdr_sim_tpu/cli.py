@@ -21,7 +21,16 @@ from gps_sdr_sim_tpu.models.scenario import (
     build_scenario,
 )
 from gps_sdr_sim_tpu.utils.coord import llh2xyz
+from gps_sdr_sim_tpu.utils.cstd import c_atof, c_atoi, c_sscanf_doubles
 from gps_sdr_sim_tpu.utils.gpstime import DateTime
+
+
+def _sscanf3(s: str):
+    """sscanf(s, "%lf,%lf,%lf") — stop at the first failed conversion,
+    leaving later fields at zero (the reference's variables are stack
+    values; zero is the deterministic stand-in, gpssim.c:1774,1780)."""
+    vals = c_sscanf_doubles(s, 3)
+    return vals + [0.0] * (3 - len(vals))
 
 
 def _err(msg: str):
@@ -50,6 +59,8 @@ def _usage():
         "TPU extensions:\n"
         "  --impl <name>       Kernel: pallas (default), xla, or\n"
         "                      pallas-sharded/xla-sharded (all local chips)\n"
+        "  --carrier-phase <m> Carrier NCO: float (default) or fixed\n"
+        "                      (the reference's FLOAT_CARR_PHASE=0 build)\n"
         "  --batch-epochs <n>  Epochs per device dispatch (default: 20)\n"
         "  --motion-size <n>   Max user-motion points (default: 3000)\n"
         "  --shard-dir <dir>   Write time-shard files + manifest to <dir>\n"
@@ -72,11 +83,18 @@ def _merge_values(argv):
 
     argparse would otherwise reject negative operands like
     `-c -2694685.473,-4293642.366,3857878.924` or `-l -33.87,151.21,10`
-    as unknown options; the C reference's getopt accepts them.
+    as unknown options; the C reference's getopt accepts them. A value
+    flag with no operand left mirrors getopt's missing-argument path
+    (message to stderr, then usage + exit 1, gpssim.c:1845-1848).
     """
     out, i = [], 0
     while i < len(argv):
-        if argv[i] in _VALUE_FLAGS and i + 1 < len(argv):
+        if argv[i] in _VALUE_FLAGS:
+            if i + 1 >= len(argv):
+                print(f"option requires an argument -- '{argv[i][1]}'",
+                      file=sys.stderr)
+                _usage()
+                raise SystemExit(1)
             out.append(argv[i] + "=" + argv[i + 1])
             i += 2
         else:
@@ -95,15 +113,23 @@ def parse_args(argv) -> tuple:
     ap.add_argument("-l", dest="llh", default="")
     ap.add_argument("-t", dest="t0", default="")
     ap.add_argument("-T", dest="t0_overwrite", default="")
-    ap.add_argument("-d", dest="duration", type=float, default=None)
+    # -d/-s use C atof semantics (unparsable -> 0.0, gpssim.c:1789,1838)
+    # and -b C atoi, so malformed operands flow into the same validation
+    # messages as the reference instead of an argparse type error.
+    ap.add_argument("-d", dest="duration", type=c_atof, default=None)
     ap.add_argument("-o", dest="outfile", default="gpssim.bin")
-    ap.add_argument("-s", dest="samp_freq", type=float, default=2.6e6)
-    ap.add_argument("-b", dest="bits", type=int, default=16)
+    ap.add_argument("-s", dest="samp_freq", type=c_atof, default=2.6e6)
+    ap.add_argument("-b", dest="bits", type=c_atoi, default=16)
     ap.add_argument("-i", dest="disable_iono", action="store_true")
     ap.add_argument("-v", dest="verbose", action="store_true")
     ap.add_argument("--impl", default="pallas",
                     choices=("pallas", "xla", "pallas-sharded",
                              "xla-sharded"))
+    ap.add_argument("--carrier-phase", default="float",
+                    choices=("float", "fixed"),
+                    help="carrier NCO: float (reference default) or the "
+                         "32-bit fixed-point variant (FLOAT_CARR_PHASE "
+                         "undefined)")
     ap.add_argument("--batch-epochs", type=int, default=20)
     ap.add_argument("--motion-size", type=int, default=USER_MOTION_SIZE)
     ap.add_argument("--shard-dir", default="")
@@ -154,9 +180,9 @@ def build_config(ns) -> ScenarioConfig:
 
     static_xyz = None
     if ns.xyz:
-        static_xyz = np.array([float(v) for v in ns.xyz.split(",")])
+        static_xyz = np.array(_sscanf3(ns.xyz))
     elif ns.llh:
-        lat, lon, hgt = (float(v) for v in ns.llh.split(","))
+        lat, lon, hgt = _sscanf3(ns.llh)
         static_xyz = llh2xyz(np.array([lat / R2D, lon / R2D, hgt]))
 
     t0 = None
@@ -186,6 +212,7 @@ def build_config(ns) -> ScenarioConfig:
         iono_enable=not ns.disable_iono,
         verbose=ns.verbose,
         max_motion_points=ns.motion_size,
+        carrier_phase_mode=ns.carrier_phase,
     )
 
 
@@ -289,9 +316,19 @@ def _run(ns, cfg, scn) -> int:
         )
 
         t_start = time.time()
-        run_simulation_sharded(scn, ns.shard_dir, n_shards=ns.shards,
-                               batch_epochs=ns.batch_epochs, impl=ns.impl,
-                               resume=ns.resume)
+        try:
+            _manifest, stats = run_simulation_sharded(
+                scn, ns.shard_dir, n_shards=ns.shards,
+                batch_epochs=ns.batch_epochs, impl=ns.impl,
+                resume=ns.resume)
+        except ValueError as e:
+            print(f"ERROR: {e}", file=sys.stderr)
+            return 1
+        if ns.json_summary:
+            import json
+
+            with open(ns.json_summary, "w") as jfp:
+                json.dump(stats.summary(scn.samp_freq), jfp, indent=1)
         if ns.concat:
             import jax
 

@@ -51,6 +51,7 @@ from gps_sdr_sim_tpu.models.navmsg import dwrd_to_bits, eph2sbf, generate_nav_ms
 from gps_sdr_sim_tpu.models.observables import compute_range, sat_visibility
 from gps_sdr_sim_tpu.models.trajectory import read_nmea_gga, read_user_motion
 from gps_sdr_sim_tpu.utils.coord import llh2xyz, ltcmat, xyz2llh
+from gps_sdr_sim_tpu.utils.cstd import c_round
 from gps_sdr_sim_tpu.utils.gpstime import (
     DateTime,
     GpsTime,
@@ -83,6 +84,10 @@ class ScenarioConfig:
     verbose: bool = False  # -v
     max_motion_points: int = USER_MOTION_SIZE
     static_max_duration: float = 86400.0
+    # "float" = the reference's default f64 carrier NCO (FLOAT_CARR_PHASE
+    # defined, gpssim.h:4); "fixed" = its 32-bit fixed-point NCO compile
+    # variant, here a runtime mode (--carrier-phase fixed).
+    carrier_phase_mode: str = "float"
 
 
 @dataclass
@@ -105,6 +110,11 @@ class Segment:
     carr_phase0: np.ndarray  # [E, C] f64 cycles in [0, 1)
     m0: np.ndarray  # [E, C] int32 nav ms counter at epoch start
     gain: np.ndarray  # [E, C] int32 amplitude (2^7-scaled)
+    # True = carr_phase0 values lie on the 2^-25-cycle grid of the
+    # reference's 32-bit fixed-point carrier NCO (FLOAT_CARR_PHASE
+    # undefined, gpssim.c:2175-2177,2251-2252) and the planner must
+    # quantize the carrier step the same way.
+    carr_fixed: bool = False
 
 
 @dataclass
@@ -115,6 +125,7 @@ class _Channel:
     dwrd: Optional[np.ndarray] = None
     g0: GpsTime = field(default_factory=GpsTime)
     carr_phase: float = 0.0
+    carr_phase25: int = 0  # fixed mode: phase mod 2^25 (unit 2^-25 cycles)
     rho0_range: float = 0.0
     rho0_gsec: float = 0.0
     rho0_week: int = 0
@@ -224,6 +235,9 @@ def _select_ephem_set(eph, neph, g0: GpsTime) -> int:
 
 def build_scenario(cfg: ScenarioConfig) -> Scenario:
     """Build the full host-side plan for a simulation run."""
+    if cfg.carrier_phase_mode not in ("float", "fixed"):
+        raise ScenarioError(
+            f"Invalid carrier phase mode: {cfg.carrier_phase_mode}")
     # ---- Receiver trajectory (gpssim.c:1887-1917) ----
     # Static mode WINS when both a static location and a motion file are
     # given, like the reference (staticLocationMode gates the motion-file
@@ -322,6 +336,7 @@ class _Engine:
         self.N = iq_buff_size
         self.delt = delt
 
+        self.fixed_carr = cfg.carrier_phase_mode == "fixed"
         self.ieph = _select_ephem_set(eph, neph, g0)
         self.chan = [_Channel() for _ in range(MAX_CHAN)]
         self.allocated_sat = [-1] * MAX_SAT
@@ -377,6 +392,10 @@ class _Engine:
 
                         phase_ini = (2.0 * r_ref - r_xyz) / LAMBDA_L1
                         ch.carr_phase = phase_ini - math.floor(phase_ini)
+                        # Fixed mode: (unsigned int)(512.0*65536.0*frac)
+                        # (gpssim.c:1624-1625), i.e. truncation to the
+                        # 2^-25-cycle grid.
+                        ch.carr_phase25 = int(ch.carr_phase * 33554432.0)
                         self.allocated_sat[sv] = slot
             elif self.allocated_sat[sv] >= 0:
                 self.chan[self.allocated_sat[sv]].prn = 0
@@ -476,11 +495,27 @@ class _Engine:
             m0[:, ci] = ims
 
             # Carrier phase: analytic continuation of the reference's
-            # per-sample accumulate-and-wrap (gpssim.c:2244-2250).
-            inc = self.N * f_carr[:, ci] * self.delt
-            phases = ch.carr_phase + np.concatenate([[0.0], np.cumsum(inc)])
-            carr_phase0[:, ci] = phases[:-1] - np.floor(phases[:-1])
-            ch.carr_phase = float(phases[-1] - math.floor(phases[-1]))
+            # per-sample accumulate-and-wrap. float mode: the f64 NCO
+            # (gpssim.c:2244-2250). fixed mode: the 32-bit NCO stepping by
+            # round(2^25 * f_carr * delt) counts (gpssim.c:2175-2177,
+            # :2252) — the per-epoch advance N*step is EXACT integer
+            # arithmetic, and only the phase mod 2^25 reaches the 9-bit
+            # table index, so tracking mod 2^25 reproduces the wrapping
+            # 32-bit add bit-for-bit.
+            if self.fixed_carr:
+                steps25 = c_round(
+                    f_carr[:, ci] * self.delt * 33554432.0).astype(np.int64)
+                cum = ch.carr_phase25 + np.concatenate(
+                    [[0], np.cumsum(self.N * steps25)])
+                ph25 = cum % (1 << 25)
+                carr_phase0[:, ci] = ph25[:-1] / 33554432.0
+                ch.carr_phase25 = int(ph25[-1])
+            else:
+                inc = self.N * f_carr[:, ci] * self.delt
+                phases = ch.carr_phase + np.concatenate(
+                    [[0.0], np.cumsum(inc)])
+                carr_phase0[:, ci] = phases[:-1] - np.floor(phases[:-1])
+                ch.carr_phase = float(phases[-1] - math.floor(phases[-1]))
 
             # Amplitude model uses the *current* epoch's range (gpssim.c:2179).
             gain[:, ci] = signal_gain(rho["d"], rho["azel"][:, 1])
@@ -500,6 +535,7 @@ class _Engine:
             first_epoch=start, n_epochs=E, active=active, prn=prn, ca=ca,
             bits=bits, f_carr=f_carr, f_code=f_code, code_phase0=code_phase0,
             carr_phase0=carr_phase0, m0=m0, gain=gain,
+            carr_fixed=self.fixed_carr,
         )
 
     def _boundary(self, e: int):

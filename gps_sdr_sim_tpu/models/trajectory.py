@@ -12,27 +12,33 @@ import numpy as np
 
 from gps_sdr_sim_tpu.constants import R2D, USER_MOTION_SIZE
 from gps_sdr_sim_tpu.utils.coord import llh2xyz
-from gps_sdr_sim_tpu.utils.cstd import c_atof, c_strtod
+from gps_sdr_sim_tpu.utils.cstd import c_atof, c_sscanf_doubles
 
 
 def read_user_motion(filename: str, max_points: int = USER_MOTION_SIZE) -> np.ndarray:
-    """Read a 10 Hz ECEF motion CSV; returns [N, 3] float64 positions."""
+    """Read a 10 Hz ECEF motion CSV; returns [N, 3] float64 positions.
+
+    Row index IS the 0.1 s epoch index, so the reference's exact sscanf
+    semantics matter for time alignment (gpssim.c:1365-1377): every line
+    produces a row; fields that fail to convert keep the previous line's
+    values (sscanf stores only the converted prefix), and only a line
+    where no conversion happens at all before end-of-input (sscanf ==
+    EOF, i.e. blank) truncates the file. A garbage FIRST line reads
+    uninitialized stack in the reference (UB); here those fields are 0.
+    """
     rows = []
+    t = x = y = z = 0.0
     with open(filename, "rt") as fp:
         for line in fp:
             if len(rows) >= max_points:
                 break
-            # sscanf "%lf,%lf,%lf,%lf" prefix semantics: trailing junk
-            # after a number is fine; rows where any field fails to parse
-            # are skipped (the reference reads stale values there — UB we
-            # do not reproduce), and reading continues.
-            parts = line.split(",")
-            if len(parts) < 4:
-                continue
-            vals = [c_strtod(p) for p in parts[:4]]
-            if not all(ok for _v, ok in vals):
-                continue
-            rows.append((vals[1][0], vals[2][0], vals[3][0]))
+            vals = c_sscanf_doubles(line, 4)
+            if not vals and not line.strip():
+                break  # sscanf returns EOF on an all-whitespace line
+            fields = [t, x, y, z]
+            fields[:len(vals)] = vals
+            t, x, y, z = fields
+            rows.append((x, y, z))
     return np.array(rows, dtype=np.float64).reshape(-1, 3)
 
 

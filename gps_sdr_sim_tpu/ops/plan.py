@@ -7,14 +7,19 @@ exact integer decomposition:
 
   phase(k0 + r) = (P + r*S) / 2^40   (r < SUBBLOCK)
 
-where P (the sub-block base phase, rebased from host float64 every SUBBLOCK
-samples) and S (the per-sample step) are 40-bit fixed-point integers split
-into three 16-bit limbs. In-kernel arithmetic is pure int32: with
-r < 2^11 and limbs < 2^16, every partial product stays under 2^27 and every
-carry chain under 2^31. Quantization error is <= 2^-40 chips/cycles in the
-base and <= SUBBLOCK * 2^-41 per sub-block from the step, i.e. ~1e-9 -- far
-below the reference's own float64 accumulation noise (~1e-8 chips over an
-epoch), so chip boundaries and table indices match the C oracle.
+where P (the sub-block base phase, accumulated in exact integer arithmetic
+from the epoch-start phase and the 2^56-quantized step) and S (bits
+[16, 64) of that same step) are split into three 16-bit limbs covering
+fractional bits [16, 56). In-kernel arithmetic is pure int32: with
+r < 2^11 and limbs < 2^16, every partial product stays under 2^27 and
+every carry chain under 2^31. Because both kernel paths (plan_batch ->
+XLA, plan_epochs -> Pallas on-device rebase) derive their limbs from the
+same single step quantization by exact integer accumulation, their
+outputs are bit-identical on any one backend. Quantization effects vs the
+true f64 ramp: step drift < 2^18 * 2^-57 ~ 1e-12 per epoch, plus an
+unaccumulated < 2^-29 in-sub-block truncation -- both far below the C
+oracle's own f64-NCO noise, so chip boundaries and table indices match
+the oracle within the documented golden budget.
 """
 
 from __future__ import annotations
@@ -30,11 +35,47 @@ from gps_sdr_sim_tpu.constants import (
     SUBBLOCK,
 )
 from gps_sdr_sim_tpu.models.scenario import Segment
+from gps_sdr_sim_tpu.utils.cstd import c_round
 
 _SCALE = float(1 << PHASE_FRAC_BITS)
 _MASK40 = (1 << PHASE_FRAC_BITS) - 1
 _SCALE56 = float(1 << 56)
 _MASK56 = (1 << 56) - 1
+_SCALE25 = float(1 << 25)
+
+
+def _code_step56(f_code: np.ndarray, delt: float) -> np.ndarray:
+    """Code step (chips/sample) quantized once at 2^56, int64.
+
+    This single rounding is THE step both kernel paths consume: the
+    per-sub-block rebase (host-side in plan_batch, on-device in
+    plan_epochs/synth_pallas) accumulates all 56 fractional bits exactly,
+    and the in-kernel per-sample ramp uses bits [16, 64) — dropping the
+    low 16 bits costs < 2^11 * 2^-40 ~ 2^-29 chips within a sub-block,
+    never accumulated. Identical integers on both paths => bit-identical
+    kernels; step quantization drift over a whole epoch is < 2^18 * 2^-57
+    ~ 1e-12 chips, far below the C oracle's own f64-NCO noise.
+    """
+    return np.rint(f_code * delt * _SCALE56).astype(np.int64)
+
+
+def _carr_step56(f_carr: np.ndarray, delt: float, fixed: bool) -> np.ndarray:
+    """Carrier step (cycles/sample) quantized at 2^56, in [0, 2^56), int64.
+
+    float mode: the reference's f64 accumulate-and-wrap (gpssim.c:2244-2250)
+    quantized at 2^56 (a step rounding up to exactly 2^56 is congruent to 0
+    and wraps). fixed mode: the reference's 32-bit NCO (FLOAT_CARR_PHASE
+    undefined) steps by round(2^25 * f_carr * delt) counts of 2^-25 cycles
+    (gpssim.c:2175-2177); only the phase mod 2^25 reaches the 9-bit table
+    index ((carr_phase >> 16) & 0x1ff, gpssim.c:2202), so the wrapping
+    32-bit add reduces exactly to this mod-2^25 ramp, scaled by 2^31 into
+    the 2^56 domain -- bit-exact vs the C NCO.
+    """
+    if fixed:
+        s25 = c_round(f_carr * delt * _SCALE25).astype(np.int64) % (1 << 25)
+        return s25 << 31
+    step = np.mod(f_carr * delt, 1.0)
+    return np.rint(step * _SCALE56).astype(np.int64) & _MASK56
 
 
 @dataclass
@@ -125,6 +166,12 @@ def _pack_ca_words(ca_pm1: np.ndarray) -> np.ndarray:
 _CA_WORDS_CACHE: dict = {}
 
 
+# Fields whose leading axis is NOT the epoch axis (ca_words is [C, 32]);
+# they must pass through pad_epoch_axis untouched even when the channel
+# count happens to equal the unpadded epoch count.
+_NON_EPOCH_FIELDS = frozenset({"ca_words"})
+
+
 def pad_epoch_axis(batch, target_b: int):
     """Pad any epoch-batch dataclass to `target_b` epochs.
 
@@ -141,7 +188,8 @@ def pad_epoch_axis(batch, target_b: int):
     out = {}
     for f in dataclasses.fields(batch):
         v = getattr(batch, f.name)
-        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == b:
+        if (f.name not in _NON_EPOCH_FIELDS and isinstance(v, np.ndarray)
+                and v.ndim >= 1 and v.shape[0] == b):
             if f.name == "gain":
                 out[f.name] = np.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
             else:
@@ -160,24 +208,31 @@ def plan_batch(seg: Segment, e0: int, e1: int, iq_buff_size: int,
     SB = -(-iq_buff_size // SUBBLOCK)  # ceil
     k0 = (np.arange(SB, dtype=np.int64) * SUBBLOCK)[None, :, None]  # [1,SB,1]
 
-    # Per-sample steps, float64 (identical to the reference's values) and
-    # their 40-bit fixed-point images for the in-kernel ramp.
-    step_code = seg.f_code[e0:e1] * delt  # [B, C] chips/sample
-    step_carr = np.mod(seg.f_carr[e0:e1] * delt, 1.0)  # cycles/sample, >= 0
-    s_code = np.rint(step_code * _SCALE).astype(np.int64)
-    s_carr = np.rint(step_carr * _SCALE).astype(np.int64)
+    s_code = _code_step56(seg.f_code[e0:e1], delt)  # [B, C] int64
+    s_carr = _carr_step56(seg.f_carr[e0:e1], delt, seg.carr_fixed)
 
-    # Rebase every sub-block directly from float64 so the fixed-point step's
-    # ~2^-41 quantization error never accumulates beyond one sub-block
-    # (SUBBLOCK * 2^-41 ~ 1e-9 chips/cycles of in-kernel drift).
-    tot_code = seg.code_phase0[e0:e1, None, :] + k0 * step_code[:, None, :]
-    t_base_f = np.floor(tot_code)
-    t_base = t_base_f.astype(np.int32)  # integer chips since epoch start
-    code_p = _limbs(((tot_code - t_base_f) * _SCALE).astype(np.int64))
+    # Sub-block bases by EXACT integer accumulation of the 2^56 step —
+    # the same arithmetic the pallas path performs on device
+    # (synth_pallas._device_rebase), via a 16/40-bit split so k0 * step
+    # never overflows int64. Both kernels therefore see bit-identical
+    # parameters: base limbs = bits [16, 56), integer carry = bits >= 56.
+    def accum(frac56, s56):
+        lo = (frac56 & 0xFFFF)[:, None, :] + k0 * (s56 & 0xFFFF)[:, None, :]
+        hi = ((frac56 >> 16)[:, None, :] + k0 * (s56 >> 16)[:, None, :]
+              + (lo >> 16))  # units of 2^-40
+        return hi & _MASK40, hi >> PHASE_FRAC_BITS
 
-    tot_carr = seg.carr_phase0[e0:e1, None, :] + k0 * step_carr[:, None, :]
-    frac_carr = tot_carr - np.floor(tot_carr)
-    carr_p = _limbs((frac_carr * _SCALE).astype(np.int64))
+    cp0 = seg.code_phase0[e0:e1]
+    c_int = np.floor(cp0)
+    base_c, carry_c = accum(((cp0 - c_int) * _SCALE56).astype(np.int64),
+                            s_code)
+    t_base = (c_int.astype(np.int64)[:, None, :] + carry_c).astype(np.int32)
+    code_p = _limbs(base_c)
+
+    gp0 = seg.carr_phase0[e0:e1]
+    base_g, _ = accum(((gp0 - np.floor(gp0)) * _SCALE56).astype(np.int64),
+                      s_carr)
+    carr_p = _limbs(base_g)
 
     gain = (seg.gain[e0:e1] * seg.active[None, :]).astype(np.int32)
 
@@ -186,8 +241,9 @@ def plan_batch(seg: Segment, e0: int, e1: int, iq_buff_size: int,
     ca_words = _pack_ca_words(seg.ca)
 
     return DeviceBatch(
-        code_s=_limbs(s_code),
-        carr_s=_limbs(s_carr),
+        # In-kernel per-sample steps: bits [16, 64) of the 2^56 step.
+        code_s=_limbs(s_code >> 16),
+        carr_s=_limbs(s_carr >> 16),
         code_p=code_p,
         carr_p=carr_p,
         t_base=t_base,
@@ -242,17 +298,13 @@ def plan_epochs(seg: Segment, e0: int, e1: int, delt: float,
     bits = seg.bits[order]
     ca = seg.ca[order]
 
-    # Steps at 2^56 resolution: the on-device rebase accumulates the step
-    # over up to 2^18 samples, so the step must carry >= 56 fractional bits
-    # for the epoch-end drift (k * quantization) to stay ~1e-12.
-    step_code = f_code * delt
-    step_carr = np.mod(f_carr * delt, 1.0)
-    # The code step exceeds 1 chip/sample below ~1.023 Msps, so steps get
-    # 8 limbs (64 bits); phase fractions are < 1 but padded to match.
-    s_code = np.rint(step_code * _SCALE56).astype(np.int64)
-    # A carrier step that rounds up to exactly 2^56 is congruent to 0 and
-    # must wrap, or its top limb would escape the 8-bit range.
-    s_carr = np.rint(step_carr * _SCALE56).astype(np.int64) & _MASK56
+    # Steps: the SAME single 2^56 quantization as plan_batch; the on-device
+    # rebase accumulates all 56 fractional bits exactly, so the kernel
+    # limbs match the XLA path bit-for-bit. The code step exceeds 1
+    # chip/sample below ~1.023 Msps, so steps get 8 limbs (64 bits); phase
+    # fractions are < 1 but padded to match.
+    s_code = _code_step56(f_code, delt)
+    s_carr = _carr_step56(f_carr, delt, seg.carr_fixed)
 
     t0f = np.floor(code_phase0)
     code_f8 = _limbs8(((code_phase0 - t0f) * _SCALE56).astype(np.int64), 8)

@@ -78,7 +78,11 @@ def _pallas_trig_corrections():
             tuple((int(i), int(dc[i])) for i in np.nonzero(dc)[0]))
 
 
-def _make_kernel(n_chan: int, sin_fix, cos_fix):
+def _make_kernel(n_chan: int, sin_fix, cos_fix, quantize: bool = True):
+    """quantize=False emits the raw int32 accumulators (pre-(acc+64)>>7)
+    so a channel-sharded caller can psum partial sums over ICI before
+    quantizing — the reference sums ALL channels first (gpssim.c:2192-2259),
+    so reduction placement is correctness-relevant."""
     def kernel(params_ref, ca_ref, i_ref, q_ref):
         r = jax.lax.broadcasted_iota(jnp.int32, (_TILE_ROWS, SUBBLOCK), 1)
         iacc = jnp.zeros((_TILE_ROWS, SUBBLOCK), jnp.int32)
@@ -129,16 +133,21 @@ def _make_kernel(n_chan: int, sin_fix, cos_fix):
             iacc = iacc + m * cos_v
             qacc = qacc + m * sin_v
 
-        i_ref[:] = ((iacc + 64) >> 7).astype(jnp.int16)
-        q_ref[:] = ((qacc + 64) >> 7).astype(jnp.int16)
+        if quantize:
+            i_ref[:] = ((iacc + 64) >> 7).astype(jnp.int16)
+            q_ref[:] = ((qacc + 64) >> 7).astype(jnp.int16)
+        else:
+            i_ref[:] = iacc
+            q_ref[:] = qacc
 
     return kernel
 
 
 @lru_cache(maxsize=None)
-def _get_pallas_fn(n_chan: int):
+def _get_pallas_fn(n_chan: int, quantize: bool = True):
     sin_fix, cos_fix = _pallas_trig_corrections()
-    kernel = _make_kernel(n_chan, sin_fix, cos_fix)
+    kernel = _make_kernel(n_chan, sin_fix, cos_fix, quantize)
+    out_dtype = jnp.int16 if quantize else jnp.int32
 
     @jax.jit
     def run(params, ca_words):
@@ -159,8 +168,8 @@ def _get_pallas_fn(n_chan: int):
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((rows, SUBBLOCK), jnp.int16),
-                jax.ShapeDtypeStruct((rows, SUBBLOCK), jnp.int16),
+                jax.ShapeDtypeStruct((rows, SUBBLOCK), out_dtype),
+                jax.ShapeDtypeStruct((rows, SUBBLOCK), out_dtype),
             ),
             # Row tiles are independent: let Mosaic split the grid across
             # Megacore TensorCores where the chip has them.

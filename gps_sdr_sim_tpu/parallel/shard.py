@@ -111,14 +111,34 @@ def synth_batch_sharded(db: DeviceBatch, n_out: int, mesh: Mesh) -> jax.Array:
 
 
 @lru_cache(maxsize=None)
-def _get_sharded_pallas_fn(mesh: Mesh, n_chan: int):
+def _get_sharded_pallas_fn(mesh: Mesh, local_chan: int):
     from gps_sdr_sim_tpu.ops import synth_pallas
 
-    inner = synth_pallas._get_pallas_fn(n_chan)
+    chan_n = mesh.shape[CHAN_AXIS]
+    if chan_n == 1:
+        inner = synth_pallas._get_pallas_fn(local_chan)
+        local = lambda params, ca: inner(params, ca)
+    else:
+        # Each device's kernel emits raw int32 partial accumulators for
+        # its channel slice; the cross-device channel reduction rides ICI
+        # BEFORE the (acc+64)>>7 quantization, exactly like the reference
+        # sums all channels first (gpssim.c:2192-2259).
+        inner = synth_pallas._get_pallas_fn(local_chan, quantize=False)
+
+        def local(params, ca):
+            iacc, qacc = inner(params, ca)
+            iacc = jax.lax.psum(iacc, CHAN_AXIS)
+            qacc = jax.lax.psum(qacc, CHAN_AXIS)
+            return (((iacc + 64) >> 7).astype(jnp.int16),
+                    ((qacc + 64) >> 7).astype(jnp.int16))
+
     fn = jax.shard_map(
-        lambda params, ca: inner(params, ca),
+        local,
         mesh=mesh,
-        in_specs=(P(TIME_AXIS, None), P(None, None)),
+        # params rows (epoch x sub-block) shard over 'time'; the packed
+        # 32-lane-per-channel param axis and ca_words rows shard over
+        # 'chan' at whole-channel boundaries.
+        in_specs=(P(TIME_AXIS, CHAN_AXIS), P(CHAN_AXIS, None)),
         out_specs=(P(TIME_AXIS, None), P(TIME_AXIS, None)),
         # pallas_call's out_shape can't carry the varying-mesh-axes info
         # the vma checker wants; the specs above are the full contract.
@@ -127,22 +147,24 @@ def _get_sharded_pallas_fn(mesh: Mesh, n_chan: int):
 
 
 def synth_pallas_sharded(db: DeviceBatch, n_out: int, mesh: Mesh) -> jax.Array:
-    """Fused-kernel synthesis with sample rows sharded over the 'time' axis.
+    """Fused-kernel synthesis sharded over the ('time', 'chan') mesh.
 
-    Rows (one per [epoch, sub-block]) are embarrassingly parallel, so the
-    fused kernel runs unchanged per shard with zero collectives — the pod
-    configuration for bulk generation. Channel ('chan') sharding needs the
-    pre-quantization psum and therefore the XLA path (synth_batch_sharded);
-    use a chan size of 1 here.
+    Rows (one per [epoch, sub-block]) are embarrassingly parallel over
+    'time' — zero collectives, the pod configuration for bulk generation.
+    A 'chan' axis > 1 splits the packed parameter lanes and ca_words at
+    whole-channel boundaries; each device's fused kernel then produces raw
+    int32 partial sums that are psum-reduced over ICI before quantization
+    (see _get_sharded_pallas_fn).
     """
     from gps_sdr_sim_tpu.constants import SUBBLOCK
     from gps_sdr_sim_tpu.ops import synth_pallas
 
-    if mesh.shape[CHAN_AXIS] != 1:
-        raise ValueError("pallas sharding supports chan=1 meshes; use "
-                         "synth_batch_sharded for channel sharding")
     n_time = mesh.shape[TIME_AXIS]
+    n_chan_dev = mesh.shape[CHAN_AXIS]
     B, SB, C = db.t_base.shape
+    if C % n_chan_dev != 0:
+        raise ValueError(f"{C} channels not divisible by mesh "
+                         f"'chan' size {n_chan_dev}")
     params = synth_pallas.pack_params(db)  # [rows_pad(TILE), C*32]
 
     # Pad rows so every shard is a whole number of kernel tiles.
@@ -152,7 +174,7 @@ def synth_pallas_sharded(db: DeviceBatch, n_out: int, mesh: Mesh) -> jax.Array:
     if rows_pad != rows:
         params = np.pad(params, ((0, rows_pad - rows), (0, 0)))
 
-    fn = _get_sharded_pallas_fn(mesh, C)
+    fn = _get_sharded_pallas_fn(mesh, C // n_chan_dev)
     i16, q16 = fn(jnp.asarray(params), jnp.asarray(db.ca_words))
     n_rows = B * SB
     iq = jnp.stack([i16[:n_rows].reshape(B, SB * SUBBLOCK),

@@ -43,3 +43,25 @@ def c_strtod(s: str):
     if not m:
         return 0.0, False
     return float(m.group(1)), True
+
+
+def c_sscanf_doubles(s: str, n: int, sep: str = ","):
+    """sscanf(s, "%lf<sep>%lf<sep>...") with n conversions.
+
+    Returns the list of successfully converted values (length <= n); like
+    sscanf, conversion stops at the first failure or missing separator,
+    leaving later fields untouched in the caller.
+    """
+    vals = []
+    rest = s
+    for k in range(n):
+        if k > 0:
+            if not rest.startswith(sep):
+                break
+            rest = rest[len(sep):]
+        m = _FLOAT_RE.match(rest)
+        if not m:
+            break
+        vals.append(float(m.group(1)))
+        rest = rest[m.end():]
+    return vals

@@ -131,14 +131,19 @@ def test_epoch_range_split_anywhere_bitexact(scenario):
         assert parts.getvalue() == whole.getvalue(), (k, be)
 
 
-@pytest.mark.parametrize("n_time", [2, 8])
-def test_pallas_sharded_matches_unsharded(scenario, batch, n_time):
-    """Fused-kernel rows sharded over 'time' == single-device kernel."""
+@pytest.mark.parametrize("n_time,n_chan",
+                         [(2, 1), (8, 1), (1, 8), (4, 2), (2, 4)])
+def test_pallas_sharded_matches_unsharded(scenario, batch, n_time, n_chan):
+    """Fused kernel over any (time, chan) factorization == single device.
+
+    chan > 1 exercises the raw-accumulator kernel variant + pre-quantization
+    psum over the channel axis (the reference's reduction placement,
+    gpssim.c:2192-2259)."""
     from gps_sdr_sim_tpu.ops import synth_pallas
     from gps_sdr_sim_tpu.parallel import synth_pallas_sharded
 
     n = scenario.iq_buff_size
-    mesh = auto_mesh(n_time, 1)
+    mesh = auto_mesh(n_time * n_chan, n_chan)
     got = np.asarray(synth_pallas_sharded(batch, n, mesh))
     want = np.asarray(synth_pallas.synth_batch(batch, n))
     np.testing.assert_array_equal(got, want)
