@@ -79,3 +79,50 @@ def narrow16to8(values: np.ndarray, shift_right: int = 4) -> np.ndarray:
     _load().pf_narrow16to8(_ptr(values, ctypes.c_int16), values.size,
                            shift_right, _ptr(out, ctypes.c_int8))
     return out
+
+
+# ---- SDR backend option validation (tools/sdr_backends.cpp) ----
+# The clamping rules of the reference players, exported unconditionally
+# (no vendor SDK needed) so they are testable without hardware.
+
+def _load_sdr() -> ctypes.CDLL:
+    lib = _load()
+    if not hasattr(lib.sdr_lime_clamp_gain, "_typed"):
+        lib.sdr_lime_clamp_gain.restype = ctypes.c_double
+        lib.sdr_lime_clamp_gain.argtypes = [ctypes.c_double]
+        lib.sdr_lime_clamp_dynamic.restype = ctypes.c_long
+        lib.sdr_lime_clamp_dynamic.argtypes = [ctypes.c_long]
+        lib.sdr_lime_clamp_channel.restype = ctypes.c_int
+        lib.sdr_lime_clamp_channel.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.sdr_pluto_clamp_atten.restype = ctypes.c_double
+        lib.sdr_pluto_clamp_atten.argtypes = [ctypes.c_double]
+        lib.sdr_pluto_clamp_bw.restype = ctypes.c_double
+        lib.sdr_pluto_clamp_bw.argtypes = [ctypes.c_double]
+        lib.sdr_hackrf_filter_bw.restype = ctypes.c_uint32
+        lib.sdr_hackrf_filter_bw.argtypes = [ctypes.c_uint32]
+        lib.sdr_lime_clamp_gain._typed = True
+    return lib
+
+
+def lime_clamp_gain(gain: float) -> float:
+    return _load_sdr().sdr_lime_clamp_gain(gain)
+
+
+def lime_clamp_dynamic(dynamic: int) -> int:
+    return _load_sdr().sdr_lime_clamp_dynamic(dynamic)
+
+
+def lime_clamp_channel(channel: int, channel_count: int) -> int:
+    return _load_sdr().sdr_lime_clamp_channel(channel, channel_count)
+
+
+def pluto_clamp_atten(gain_db: float) -> float:
+    return _load_sdr().sdr_pluto_clamp_atten(gain_db)
+
+
+def pluto_clamp_bw(bw_hz: float) -> float:
+    return _load_sdr().sdr_pluto_clamp_bw(bw_hz)
+
+
+def hackrf_filter_bw(sample_rate_hz: int) -> int:
+    return _load_sdr().sdr_hackrf_filter_bw(sample_rate_hz)

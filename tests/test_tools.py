@@ -166,3 +166,64 @@ def test_asan_build_runs_clean(tmp_path):
     # (bladeplayer.c PAD_TRAILING); payload must pass through untouched.
     raw = a.read_bytes()
     assert conv.read_bytes()[:len(raw)] == raw
+
+
+def test_sdr_option_clamps_match_reference():
+    """Vendor option validation (sdr_backends.cpp, compiled without any
+    SDK) mirrors the reference players' clamping rules."""
+    from gps_sdr_sim_tpu.utils import playerfmt
+
+    # Lime normalized gain into [0, 1] (limeplayer.c:158-163).
+    assert playerfmt.lime_clamp_gain(-0.5) == 0.0
+    assert playerfmt.lime_clamp_gain(0.25) == 0.25
+    assert playerfmt.lime_clamp_gain(1.5) == 1.0
+    # Lime 1-bit dynamic clamps above 2047 only (limeplayer.c:138-140).
+    assert playerfmt.lime_clamp_dynamic(4096) == 2047
+    assert playerfmt.lime_clamp_dynamic(1000) == 1000
+    # Lime channel falls back to 0 outside [0, count) (limeplayer.c:183-189).
+    assert playerfmt.lime_clamp_channel(1, 2) == 1
+    assert playerfmt.lime_clamp_channel(5, 2) == 0
+    assert playerfmt.lime_clamp_channel(-1, 2) == 0
+    # Pluto attenuation into [-80, 0] dB (plutoplayer.c:84-86).
+    assert playerfmt.pluto_clamp_atten(5.0) == 0.0
+    assert playerfmt.pluto_clamp_atten(-20.0) == -20.0
+    assert playerfmt.pluto_clamp_atten(-100.0) == -80.0
+    # Pluto RF bandwidth into [1, 5] MHz (plutoplayer.c:89-91).
+    assert playerfmt.pluto_clamp_bw(0.5e6) == 1.0e6
+    assert playerfmt.pluto_clamp_bw(3.0e6) == 3.0e6
+    assert playerfmt.pluto_clamp_bw(9.0e6) == 5.0e6
+    # HackRF filter BW: widest MAX2837 filter below the rate
+    # (hackplayer.c:118 -> hackrf_compute_baseband_filter_bw_round_down_lt).
+    assert playerfmt.hackrf_filter_bw(2600000) == 2500000
+    assert playerfmt.hackrf_filter_bw(1750000) == 1750000  # none below
+    assert playerfmt.hackrf_filter_bw(10000000) == 9000000
+
+
+def test_player_vendor_backends_fail_cleanly(tmp_path):
+    """Without vendor SDKs at build time, each backend is recognized and
+    fails with the compiled-out message (not a usage error)."""
+    src = tmp_path / "in.bin"
+    src.write_bytes(b"\x00" * 64)
+    for name in ("hackrf", "lime", "pluto", "bladerf"):
+        r = subprocess.run(
+            [str(TOOLS / "gps-sdr-player"), "-f", str(src), "-B", name],
+            capture_output=True, text=True)
+        assert r.returncode == 1
+        assert "not compiled in" in r.stderr, (name, r.stderr)
+
+
+def test_player_vendor_option_parsing(tmp_path):
+    """The per-vendor option surface (-c/-G/-A/-w/-N) parses and the file
+    pipeline is unaffected by RF-only options."""
+    data = np.arange(-512, 512, dtype=np.int16)
+    src = tmp_path / "in.bin"
+    src.write_bytes(data.tobytes())
+    dst = tmp_path / "out.bin"
+    r = subprocess.run(
+        [str(TOOLS / "gps-sdr-player"), "-f", str(src), "-b", "16",
+         "-c", "1", "-G", "7.5", "-A", "-200", "-w", "9", "-N",
+         "192.168.2.1", "-o", str(dst)],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    out = np.frombuffer(dst.read_bytes(), dtype=np.int16)
+    np.testing.assert_array_equal(out[:data.size], data)

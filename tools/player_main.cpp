@@ -54,7 +54,15 @@ void usage() {
           "  -o <file>   backend=file output path ('-' for stdout)\n"
           "  -F <hz>     TX center frequency (default: 1575420000)\n"
           "  -r <hz>     TX sample rate (default: 2600000)\n"
-          "  -g <gain>   TX gain, vendor units (default: -25)\n");
+          "  -g <gain>   TX gain, vendor units (default: -25)\n"
+          "  -c <chan>   lime: TX channel (default: 0)\n"
+          "  -G <gain>   lime: normalized gain 0.0-1.0 (default: 1.0)\n"
+          "  -A <db>     pluto: TX attenuation, clamped to [-80, 0]"
+          " (default: -20)\n"
+          "  -w <mhz>    pluto: RF bandwidth, clamped to [1, 5] MHz"
+          " (default: 2.5)\n"
+          "  -N <addr>   pluto: network context address"
+          " (default: pluto.local)\n");
 }
 
 }  // namespace
@@ -88,8 +96,16 @@ int main(int argc, char** argv) {
     else if (a == "-F") rf.frequency_hz = atof(next());
     else if (a == "-r") rf.sample_rate_hz = atof(next());
     else if (a == "-g") rf.tx_gain = atoi(next());
+    else if (a == "-c") rf.channel = atoi(next());
+    else if (a == "-G") rf.gain_norm = sdr_lime_clamp_gain(atof(next()));
+    else if (a == "-A") rf.atten_db = sdr_pluto_clamp_atten(atof(next()));
+    else if (a == "-w") rf.bandwidth_hz = sdr_pluto_clamp_bw(atof(next()) * 1e6);
+    else if (a == "-N") rf.pluto_addr = next();
     else { usage(); return 1; }
   }
+  // 1-bit expansion amplitude follows limeplayer's dynamic clamp
+  // (limeplayer.c:138-140).
+  amplitude = sdr_lime_clamp_dynamic(amplitude);
 
   const SdrBackend* sdr = sdr_backend(backend.c_str());
   if (in_path == nullptr || (bits != 1 && bits != 8 && bits != 16) ||

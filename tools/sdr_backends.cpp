@@ -4,6 +4,51 @@
 #include <string.h>
 
 // ---------------------------------------------------------------------------
+// Option validation (compiled unconditionally; unit-tested without hardware).
+// ---------------------------------------------------------------------------
+
+extern "C" double sdr_lime_clamp_gain(double gain) {
+  if (gain < 0.0) return 0.0;
+  if (gain > 1.0) return 1.0;
+  return gain;
+}
+
+extern "C" long sdr_lime_clamp_dynamic(long dynamic) {
+  return dynamic > 2047 ? 2047 : dynamic;
+}
+
+extern "C" int sdr_lime_clamp_channel(int channel, int channel_count) {
+  if (channel < 0 || channel >= channel_count) return 0;
+  return channel;
+}
+
+extern "C" double sdr_pluto_clamp_atten(double gain_db) {
+  if (gain_db > 0.0) return 0.0;
+  if (gain_db < -80.0) return -80.0;
+  return gain_db;
+}
+
+extern "C" double sdr_pluto_clamp_bw(double bw_hz) {
+  if (bw_hz > 5.0e6) return 5.0e6;
+  if (bw_hz < 1.0e6) return 1.0e6;
+  return bw_hz;
+}
+
+extern "C" uint32_t sdr_hackrf_filter_bw(uint32_t sample_rate_hz) {
+  // The MAX2837 filter table (MHz): pick the widest strictly below the
+  // sample rate, like hackrf_compute_baseband_filter_bw_round_down_lt.
+  static const uint32_t kBwHz[] = {
+      1750000,  2500000,  3500000,  5000000,  5500000,  6000000,
+      7000000,  8000000,  9000000,  10000000, 12000000, 14000000,
+      15000000, 20000000, 24000000, 28000000};
+  uint32_t best = kBwHz[0];
+  for (uint32_t bw : kBwHz) {
+    if (bw < sample_rate_hz) best = bw;
+  }
+  return best;
+}
+
+// ---------------------------------------------------------------------------
 // bladeRF (reference: player/bladeplayer.c): SC16_Q11 synchronous TX.
 // ---------------------------------------------------------------------------
 #ifdef HAVE_LIBBLADERF
@@ -73,24 +118,396 @@ void blade_close(void*) {}
 #endif
 
 // ---------------------------------------------------------------------------
-// hackrf / lime / pluto: recognized names; streaming shims are added the
-// same way when built against libhackrf / LimeSuite / libiio (each adapts
-// the push sink to its own buffer API, see reference player/*.c).
+// HackRF (reference: player/hackplayer.c). The vendor API is async-pull
+// (tx_callback freads into the USB transfer, hackplayer.c:53-72); our sink
+// contract is push. The shim inverts control with a byte ring buffer: the
+// pipeline's int16 values are narrowed to the 8-bit wire format the
+// reference transmits (its input file is the generator's -b 8 output) and
+// the callback drains the ring; send() blocks while the ring is full.
 // ---------------------------------------------------------------------------
+#ifdef HAVE_LIBHACKRF
+#include <libhackrf/hackrf.h>
+
+#include <chrono>
+#include <condition_variable>
+#include <mutex>
+#include <vector>
+
 namespace {
 
-void* unavailable_open(const SdrConfig&, const char** error) {
-  *error = "vendor SDK support not compiled in (SDK not found at build time)";
+struct HackState {
+  hackrf_device* dev = nullptr;
+  std::vector<int8_t> ring;
+  size_t head = 0, tail = 0, fill = 0;  // ring-buffer cursors (bytes)
+  bool closing = false;
+  std::mutex mu;
+  std::condition_variable can_read, can_write;
+};
+
+int hack_tx_callback(hackrf_transfer* transfer) {
+  auto* st = static_cast<HackState*>(transfer->tx_ctx);
+  size_t want = (size_t)transfer->valid_length;
+  std::unique_lock<std::mutex> lock(st->mu);
+  size_t got = 0;
+  while (got < want) {
+    if (st->fill == 0) {
+      if (st->closing) break;
+      st->can_read.wait(lock);
+      continue;
+    }
+    size_t n = want - got;
+    if (n > st->fill) n = st->fill;
+    if (n > st->ring.size() - st->head) n = st->ring.size() - st->head;
+    memcpy(transfer->buffer + got, st->ring.data() + st->head, n);
+    st->head = (st->head + n) % st->ring.size();
+    st->fill -= n;
+    got += n;
+  }
+  st->can_write.notify_all();
+  if (got < want) {
+    // EOF: pad the final transfer with zeros (the reference returns -1 and
+    // drops the tail; padding keeps the last real samples on air, matching
+    // bladeplayer's PAD_TRAILING behavior).
+    memset(transfer->buffer + got, 0, want - got);
+    return st->closing ? -1 : 0;
+  }
+  return 0;
+}
+
+void* hack_open(const SdrConfig& cfg, const char** error) {
+  static HackState st;
+  if (hackrf_init() != HACKRF_SUCCESS) {
+    *error = "hackrf_init failed";
+    return nullptr;
+  }
+  if (hackrf_open(&st.dev) != HACKRF_SUCCESS) {
+    *error = "hackrf_open failed (no device?)";
+    hackrf_exit();
+    return nullptr;
+  }
+  uint32_t rate = (uint32_t)cfg.sample_rate_hz;
+  if (hackrf_set_sample_rate_manual(st.dev, rate, 1) != HACKRF_SUCCESS ||
+      hackrf_set_baseband_filter_bandwidth(
+          st.dev, sdr_hackrf_filter_bw(rate)) != HACKRF_SUCCESS ||
+      hackrf_set_txvga_gain(st.dev, (unsigned)(cfg.tx_gain < 0
+                                                   ? 0
+                                                   : cfg.tx_gain)) !=
+          HACKRF_SUCCESS) {
+    *error = "HackRF TX configuration failed";
+    hackrf_close(st.dev);
+    hackrf_exit();
+    return nullptr;
+  }
+  st.ring.assign(1 << 18, 0);  // 256 KiB elastic buffer
+  st.head = st.tail = st.fill = 0;
+  st.closing = false;
+  if (hackrf_start_tx(st.dev, hack_tx_callback, &st) != HACKRF_SUCCESS ||
+      hackrf_set_freq(st.dev, (uint64_t)cfg.frequency_hz) != HACKRF_SUCCESS ||
+      hackrf_set_amp_enable(st.dev, 1) != HACKRF_SUCCESS) {
+    *error = "hackrf_start_tx/set_freq/amp_enable failed";
+    hackrf_close(st.dev);
+    hackrf_exit();
+    return nullptr;
+  }
+  return &st;
+}
+
+int hack_send(const int16_t* values, size_t n_values, void* user) {
+  auto* st = static_cast<HackState*>(user);
+  std::unique_lock<std::mutex> lock(st->mu);
+  for (size_t k = 0; k < n_values; ++k) {
+    while (st->fill == st->ring.size()) {
+      st->can_write.wait(lock);
+    }
+    // 16-bit pipeline value -> the 8-bit wire sample the reference streams
+    // (the generator's own 16->8 rule, gpssim.c:2278-2284).
+    st->ring[st->tail] = (int8_t)(values[k] >> 4);
+    st->tail = (st->tail + 1) % st->ring.size();
+    st->fill++;
+  }
+  st->can_read.notify_all();
+  return 0;
+}
+
+void hack_close(void* user) {
+  auto* st = static_cast<HackState*>(user);
+  {
+    std::lock_guard<std::mutex> lock(st->mu);
+    st->closing = true;
+    st->can_read.notify_all();
+  }
+  // Let the callback drain the ring before stopping.
+  {
+    std::unique_lock<std::mutex> lock(st->mu);
+    st->can_write.wait_for(lock, std::chrono::seconds(2),
+                           [st] { return st->fill == 0; });
+  }
+  hackrf_stop_tx(st->dev);
+  hackrf_close(st->dev);
+  hackrf_exit();
+}
+
+}  // namespace
+#define HACKRF_AVAILABLE true
+#else
+namespace {
+void* hack_open(const SdrConfig&, const char** error) {
+  *error = "libhackrf support not compiled in (SDK not found at build time)";
   return nullptr;
 }
-int unavailable_send(const int16_t*, size_t, void*) { return 1; }
-void unavailable_close(void*) {}
+int hack_send(const int16_t*, size_t, void*) { return 1; }
+void hack_close(void*) {}
+}  // namespace
+#define HACKRF_AVAILABLE false
+#endif
+
+// ---------------------------------------------------------------------------
+// LimeSDR (reference: player/limeplayer.c): native 12-bit LMS_FMT_I12
+// stream. The pipeline's -s 4 shift already produces 12-bit values, so
+// send() hands buffers straight to LMS_SendStream. Includes the RX0-enable
+// LimeSuite bug workaround (limeplayer.c:215) and the per-100-block
+// link-rate report (limeplayer.c:296-303).
+// ---------------------------------------------------------------------------
+#ifdef HAVE_LIMESUITE
+#include <lime/LimeSuite.h>
+
+namespace {
+
+struct LimeState {
+  lms_device_t* dev = nullptr;
+  lms_stream_t stream{};
+  long blocks = 0;
+};
+
+void* lime_open(const SdrConfig& cfg, const char** error) {
+  static LimeState st;
+  int device_count = LMS_GetDeviceList(nullptr);
+  if (device_count < 1) {
+    *error = "no LimeSDR device found";
+    return nullptr;
+  }
+  lms_info_str_t list[8];
+  if (device_count > 8) device_count = 8;
+  LMS_GetDeviceList(list);
+  if (LMS_Open(&st.dev, list[0], nullptr) != 0) {
+    *error = "LMS_Open failed";
+    return nullptr;
+  }
+  LMS_Reset(st.dev);
+  LMS_Init(st.dev);
+
+  int channel_count = LMS_GetNumChannels(st.dev, LMS_CH_TX);
+  int channel = sdr_lime_clamp_channel(cfg.channel, channel_count);
+  double gain = sdr_lime_clamp_gain(cfg.gain_norm);
+  LMS_SetNormalizedGain(st.dev, LMS_CH_TX, channel, gain);
+  // Disable the other TX channel; enable RX0 to work around the LimeSuite
+  // regression since v18.06.0 (limeplayer.c:215), disable RX1; enable TX.
+  LMS_EnableChannel(st.dev, LMS_CH_TX, 1 - channel, false);
+  LMS_EnableChannel(st.dev, LMS_CH_RX, 0, true);
+  LMS_EnableChannel(st.dev, LMS_CH_RX, 1, false);
+  LMS_EnableChannel(st.dev, LMS_CH_TX, channel, true);
+
+  if (LMS_SetLOFrequency(st.dev, LMS_CH_TX, channel, cfg.frequency_hz) != 0 ||
+      LMS_SetSampleRate(st.dev, cfg.sample_rate_hz, 0) != 0) {
+    *error = "Lime LO/sample-rate configuration failed";
+    LMS_Close(st.dev);
+    return nullptr;
+  }
+  LMS_Calibrate(st.dev, LMS_CH_TX, channel, cfg.bandwidth_hz, 0);
+
+  st.stream.channel = (uint32_t)channel;
+  st.stream.fifoSize = 1024 * 1024;
+  st.stream.throughputVsLatency = 0.5;
+  st.stream.isTx = true;
+  st.stream.dataFmt = lms_stream_t::LMS_FMT_I12;
+  if (LMS_SetupStream(st.dev, &st.stream) != 0) {
+    *error = "LMS_SetupStream failed";
+    LMS_Close(st.dev);
+    return nullptr;
+  }
+  LMS_StartStream(&st.stream);
+  st.blocks = 0;
+  return &st;
+}
+
+int lime_send(const int16_t* values, size_t n_values, void* user) {
+  auto* st = static_cast<LimeState*>(user);
+  if (++st->blocks % 100 == 0) {
+    lms_stream_status_t status;
+    LMS_GetStreamStatus(&st->stream, &status);
+    fprintf(stderr, "TX rate:%lf MB/s\n", status.linkRate / 1e6);
+  }
+  return LMS_SendStream(&st->stream, values, n_values / 2, nullptr, 1000) < 0
+             ? 1
+             : 0;
+}
+
+void lime_close(void* user) {
+  auto* st = static_cast<LimeState*>(user);
+  LMS_StopStream(&st->stream);
+  LMS_DestroyStream(st->dev, &st->stream);
+  LMS_EnableChannel(st->dev, LMS_CH_TX, (int)st->stream.channel, false);
+  LMS_Close(st->dev);
+}
+
+}  // namespace
+#define LIME_AVAILABLE true
+#else
+namespace {
+void* lime_open(const SdrConfig&, const char** error) {
+  *error = "LimeSuite support not compiled in (SDK not found at build time)";
+  return nullptr;
+}
+int lime_send(const int16_t*, size_t, void*) { return 1; }
+void lime_close(void*) {}
+}  // namespace
+#define LIME_AVAILABLE false
+#endif
+
+// ---------------------------------------------------------------------------
+// ADALM-Pluto (reference: player/plutoplayer.c): libiio context (default,
+// then network "pluto.local" or -n ip), AD9361 phy attributes with the
+// reference's attenuation/bandwidth clamps, iio_buffer_push streaming.
+// ---------------------------------------------------------------------------
+#ifdef HAVE_LIBIIO
+#include <iio.h>
+#ifdef HAVE_LIBAD9361
+#include <ad9361.h>
+#endif
+
+namespace {
+
+struct PlutoState {
+  struct iio_context* ctx = nullptr;
+  struct iio_device* tx = nullptr;
+  struct iio_channel* tx0_i = nullptr;
+  struct iio_channel* tx0_q = nullptr;
+  struct iio_buffer* buf = nullptr;
+  size_t buf_samples = 0;
+};
+
+void pluto_teardown(PlutoState* st) {
+  if (st->ctx != nullptr) {
+    struct iio_device* phy = iio_context_find_device(st->ctx, "ad9361-phy");
+    if (phy != nullptr) {
+      iio_channel_attr_write_bool(
+          iio_device_find_channel(phy, "altvoltage1", true), "powerdown",
+          true);  // TX LO off
+    }
+  }
+  if (st->buf != nullptr) iio_buffer_destroy(st->buf);
+  if (st->tx0_i != nullptr) iio_channel_disable(st->tx0_i);
+  if (st->tx0_q != nullptr) iio_channel_disable(st->tx0_q);
+  if (st->ctx != nullptr) iio_context_destroy(st->ctx);
+  *st = PlutoState{};
+}
+
+void* pluto_open(const SdrConfig& cfg, const char** error) {
+  static PlutoState st;
+  st.ctx = iio_create_default_context();
+  if (st.ctx == nullptr) {
+    st.ctx = iio_create_network_context(
+        cfg.pluto_addr != nullptr ? cfg.pluto_addr : "pluto.local");
+  }
+  if (st.ctx == nullptr) {
+    *error = "failed creating IIO context (no Pluto reachable)";
+    return nullptr;
+  }
+  st.tx = iio_context_find_device(st.ctx, "cf-ad9361-dds-core-lpc");
+  struct iio_device* phy = iio_context_find_device(st.ctx, "ad9361-phy");
+  if (st.tx == nullptr || phy == nullptr) {
+    *error = "no supported PlutoSDR device found";
+    pluto_teardown(&st);
+    return nullptr;
+  }
+  iio_device_set_kernel_buffers_count(st.tx, 8);
+
+  struct iio_channel* phy_chn = iio_device_find_channel(phy, "voltage0", true);
+  iio_channel_attr_write(phy_chn, "rf_port_select", "A");
+  iio_channel_attr_write_longlong(phy_chn, "rf_bandwidth",
+                                  (long long)sdr_pluto_clamp_bw(cfg.bandwidth_hz));
+  iio_channel_attr_write_longlong(phy_chn, "sampling_frequency",
+                                  (long long)cfg.sample_rate_hz);
+  iio_channel_attr_write_double(phy_chn, "hardwaregain",
+                                sdr_pluto_clamp_atten(cfg.atten_db));
+  iio_channel_attr_write_bool(
+      iio_device_find_channel(phy, "altvoltage0", true), "powerdown",
+      true);  // RX LO off
+  iio_channel_attr_write_longlong(
+      iio_device_find_channel(phy, "altvoltage1", true), "frequency",
+      (long long)cfg.frequency_hz);  // TX LO
+
+  st.tx0_i = iio_device_find_channel(st.tx, "voltage0", true);
+  if (st.tx0_i == nullptr)
+    st.tx0_i = iio_device_find_channel(st.tx, "altvoltage0", true);
+  st.tx0_q = iio_device_find_channel(st.tx, "voltage1", true);
+  if (st.tx0_q == nullptr)
+    st.tx0_q = iio_device_find_channel(st.tx, "altvoltage1", true);
+  if (st.tx0_i == nullptr || st.tx0_q == nullptr) {
+    *error = "Pluto TX streaming channels not found";
+    pluto_teardown(&st);
+    return nullptr;
+  }
+  iio_channel_enable(st.tx0_i);
+  iio_channel_enable(st.tx0_q);
+#ifdef HAVE_LIBAD9361
+  ad9361_set_bb_rate(phy, (unsigned long)cfg.sample_rate_hz);
+#endif
+
+  st.buf_samples = (size_t)cfg.sample_rate_hz;  // 1 s, as plutoplayer.c:33
+  st.buf = iio_device_create_buffer(st.tx, st.buf_samples, false);
+  if (st.buf == nullptr) {
+    *error = "could not create Pluto TX buffer";
+    pluto_teardown(&st);
+    return nullptr;
+  }
+  iio_channel_attr_write_bool(
+      iio_device_find_channel(phy, "altvoltage1", true), "powerdown",
+      false);  // TX LO on
+  return &st;
+}
+
+int pluto_send(const int16_t* values, size_t n_values, void* user) {
+  auto* st = static_cast<PlutoState*>(user);
+  int16_t* dst = (int16_t*)iio_buffer_start(st->buf);
+  size_t cap = st->buf_samples * 2;
+  size_t done = 0;
+  while (done < n_values) {
+    size_t n = n_values - done;
+    if (n > cap) n = cap;
+    memcpy(dst, values + done, n * sizeof(int16_t));
+    if (n < cap) memset(dst + n, 0, (cap - n) * sizeof(int16_t));
+    if (iio_buffer_push(st->buf) < 0) return 1;
+    done += n;
+  }
+  return 0;
+}
+
+void pluto_close(void* user) { pluto_teardown(static_cast<PlutoState*>(user)); }
+
+}  // namespace
+#define PLUTO_AVAILABLE true
+#else
+namespace {
+void* pluto_open(const SdrConfig&, const char** error) {
+  *error = "libiio support not compiled in (SDK not found at build time)";
+  return nullptr;
+}
+int pluto_send(const int16_t*, size_t, void*) { return 1; }
+void pluto_close(void*) {}
+}  // namespace
+#define PLUTO_AVAILABLE false
+#endif
+
+// ---------------------------------------------------------------------------
+
+namespace {
 
 const SdrBackend kBackends[] = {
     {blade_open, blade_send, blade_close, "bladerf", BLADE_AVAILABLE},
-    {unavailable_open, unavailable_send, unavailable_close, "hackrf", false},
-    {unavailable_open, unavailable_send, unavailable_close, "lime", false},
-    {unavailable_open, unavailable_send, unavailable_close, "pluto", false},
+    {hack_open, hack_send, hack_close, "hackrf", HACKRF_AVAILABLE},
+    {lime_open, lime_send, lime_close, "lime", LIME_AVAILABLE},
+    {pluto_open, pluto_send, pluto_close, "pluto", PLUTO_AVAILABLE},
 };
 
 }  // namespace
