@@ -61,8 +61,10 @@ def main() -> int:
 
     base_rate = None
     for n in sizes:
-        if n % ns.chan_axis:
+        if n > 1 and n % ns.chan_axis:
             continue
+        # n=1 always runs on a (1,1) mesh so efficiency_vs_1dev is anchored
+        # to the true single-device rate even for chan-axis sweeps.
         mesh = auto_mesh(n, ns.chan_axis if n > 1 else 1)
         b = min(ns.epochs_per_device * n, seg.n_epochs)
         db = plan_batch(seg, 0, b, scn.iq_buff_size, scn.delt)

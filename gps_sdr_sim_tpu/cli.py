@@ -145,10 +145,19 @@ def parse_args(argv) -> tuple:
     ap.add_argument("--profile", default="", metavar="DIR",
                     help="write a jax.profiler trace of the run to DIR")
     try:
-        ns = ap.parse_args(argv)
+        ns, extras = ap.parse_known_args(argv)
     except SystemExit:
         _usage()
         raise
+    # getopt parity: unknown options print the missing-option message and
+    # the usage (gpssim.c:1845-1848); bare non-option operands are ignored
+    # (the reference's getopt permutes them past the loop, which never
+    # reads argv[optind..]).
+    for a in extras:
+        if a.startswith("-") and len(a) > 1:
+            print(f"invalid option -- '{a.lstrip('-')[0]}'", file=sys.stderr)
+            _usage()
+            raise SystemExit(1)
     return ns
 
 
@@ -184,6 +193,17 @@ def build_config(ns) -> ScenarioConfig:
     elif ns.llh:
         lat, lon, hgt = _sscanf3(ns.llh)
         static_xyz = llh2xyz(np.array([lat / R2D, lon / R2D, hgt]))
+
+    # Duration validation mirrors gpssim.c:1869-1874 and must precede the
+    # "Using static location mode." print (the reference validates at
+    # :1869, prints at :1914).
+    static_mode = static_xyz is not None or not (ns.umfile or ns.ggafile)
+    duration = (ns.duration if ns.duration is not None
+                else ns.motion_size / 10.0)
+    max_dur = (STATIC_MAX_DURATION if static_mode
+               else ns.motion_size / 10.0)
+    if duration < 0.0 or duration > max_dur:
+        _err("Invalid duration.")
 
     t0 = None
     timeoverwrite = False
@@ -267,6 +287,22 @@ def main(argv=None) -> int:
           file=sys.stderr)
     print(f"Duration = {scn.numd / 10.0:.1f} [sec]", file=sys.stderr)
 
+    # The reference opens the output file (gpssim.c:2100-2111) BEFORE the
+    # channel table print (:2131-2136); mirror the order so the failure
+    # path's stderr matches byte-for-byte.
+    fp = None
+    close_fp = False
+    if not ns.shard_dir:
+        if cfg.out_file == "-":
+            fp = sys.stdout.buffer
+        else:
+            try:
+                fp = open(cfg.out_file, "wb")
+                close_fp = True
+            except OSError:
+                print("ERROR: Failed to open output file.", file=sys.stderr)
+                return 1
+
     # Initial channel table (gpssim.c:2131-2136); verbose tables follow.
     tables = scn.channel_tables if cfg.verbose else scn.channel_tables[:1]
     for _iumd, rows in tables:
@@ -297,7 +333,7 @@ def main(argv=None) -> int:
         profiler = ns.profile
 
     try:
-        return _run(ns, cfg, scn)
+        return _run(ns, cfg, scn, fp, close_fp)
     finally:
         if profiler is not None:
             import jax
@@ -306,7 +342,7 @@ def main(argv=None) -> int:
             print(f"profiler trace written to {profiler}", file=sys.stderr)
 
 
-def _run(ns, cfg, scn) -> int:
+def _run(ns, cfg, scn, fp, close_fp) -> int:
     from gps_sdr_sim_tpu.runner import run_simulation
 
     if ns.shard_dir:
@@ -345,23 +381,12 @@ def _run(ns, cfg, scn) -> int:
               file=sys.stderr)
         return 0
 
-    if cfg.out_file == "-":
-        fp = sys.stdout.buffer
-        close = False
-    else:
-        try:
-            fp = open(cfg.out_file, "wb")
-        except OSError:
-            print("ERROR: Failed to open output file.", file=sys.stderr)
-            return 1
-        close = True
-
     t_start = time.time()
     try:
         stats = run_simulation(scn, fp, batch_epochs=ns.batch_epochs,
                                impl=ns.impl)
     finally:
-        if close:
+        if close_fp:
             fp.close()
 
     print("\nDone!", file=sys.stderr)
