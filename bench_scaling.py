@@ -36,6 +36,16 @@ def main() -> int:
                     help="pallas = fused-kernel rows over a time-only mesh")
     ns = ap.parse_args()
 
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # An installed TPU PJRT plugin can win platform selection over the
+        # JAX_PLATFORMS env var; pin the user's choice through jax.config
+        # (required for the virtual-device CPU mesh, see CLAUDE.md).
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from gps_sdr_sim_tpu.utils.compcache import enable as enable_cache
     enable_cache()
 

@@ -31,6 +31,8 @@ def main(argv=None) -> int:
                     help="solve a position fix from the decoded ephemerides "
                          "(needs >=19 s of signal for subframes 1-3)")
     ap.add_argument("--dopp-step", type=float, default=50.0)
+    ap.add_argument("--weighted", action="store_true",
+                    help="C/N0-weighted least squares for the PVT fix")
     ns = ap.parse_args(argv)
     if ns.pvt and ns.track <= 0:
         ap.error("--pvt requires --track SECONDS (>=19 s of signal to "
@@ -78,7 +80,7 @@ def main(argv=None) -> int:
             from gps_sdr_sim_tpu.utils.coord import xyz2llh
 
             obs, ionoutc = observables(res, frames=frames)
-            sol = solve(obs, ionoutc)
+            sol = solve(obs, ionoutc, cn0_weighted=ns.weighted)
             llh = xyz2llh(sol.xyz)
             print(f"\nPVT fix ({sol.n_sats} sats, {sol.iterations} iter):")
             print(f"  ECEF  {sol.xyz[0]:.2f} {sol.xyz[1]:.2f} "

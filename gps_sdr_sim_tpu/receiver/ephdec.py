@@ -126,22 +126,68 @@ def decode_ephemeris(sbf1: Subframe, sbf2: Subframe, sbf3: Subframe,
     return e
 
 
-def decode_all(subframes) -> Optional[Ephemeris]:
-    """Pick subframes 1-3 out of a decoded list and build the ephemeris.
+from dataclasses import dataclass as _dataclass
 
-    Returns None when the set is incomplete or inconsistent (e.g. the
-    capture straddles an ephemeris-set change and subframes 2/3 carry
-    different IODEs) — callers skip the channel rather than abort.
+
+@_dataclass
+class EphSet:
+    """One complete broadcast data set recovered from a capture."""
+
+    eph: Ephemeris
+    iode: int
+    first_bit: int  # bit index of the set's earliest subframe
+    last_bit: int   # bit index just past its latest subframe (fully
+                    # received once the stream reaches this bit)
+
+
+def decode_sets(subframes) -> "list[EphSet]":
+    """ALL consistent (1,2,3) ephemeris sets in a capture, in bit order.
+
+    A capture that crosses a 2 h broadcast data-set cutover
+    (gpssim.c:2307-2326) carries frames from two IODEs; grouping subframes
+    by their issue-of-data keys yields one Ephemeris per complete set, so
+    long captures keep a usable (and current) ephemeris on both sides of
+    the change instead of failing the cross-set consistency check.
     """
-    by_id: Dict[int, Subframe] = {}
-    for s in subframes:
-        by_id.setdefault(s.sbf_id, s)
-    if not {1, 2, 3} <= set(by_id):
-        return None
-    try:
-        return decode_ephemeris(by_id[1], by_id[2], by_id[3])
-    except ValueError:
-        return None
+    s1: Dict[int, Subframe] = {}  # IODC & 0xFF -> first subframe 1
+    s2: Dict[int, Subframe] = {}  # IODE -> first subframe 2
+    s3: Dict[int, Subframe] = {}  # IODE -> first subframe 3
+    for s in sorted(subframes, key=lambda s: s.bit_index):
+        d = _data24(s)
+        if s.sbf_id == 1:
+            key = (((int(d[2]) & 0x3) << 8) | (int(d[7] >> 16) & 0xFF)) & 0xFF
+            s1.setdefault(key, s)
+        elif s.sbf_id == 2:
+            s2.setdefault(int(d[2] >> 16) & 0xFF, s)
+        elif s.sbf_id == 3:
+            s3.setdefault(int(d[9] >> 16) & 0xFF, s)
+
+    out = []
+    for iode, sbf2 in s2.items():
+        if iode not in s1 or iode not in s3:
+            continue
+        try:
+            eph = decode_ephemeris(s1[iode], sbf2, s3[iode])
+        except ValueError:
+            continue
+        members = (s1[iode], sbf2, s3[iode])
+        out.append(EphSet(
+            eph=eph, iode=iode,
+            first_bit=min(m.bit_index for m in members),
+            last_bit=max(m.bit_index for m in members) + 300))
+    out.sort(key=lambda e: e.first_bit)
+    return out
+
+
+def decode_all(subframes) -> Optional[Ephemeris]:
+    """The earliest complete ephemeris set in a capture (or None).
+
+    Returns None when no consistent (1,2,3) set exists — callers skip the
+    channel rather than abort. Captures spanning an IODE change still
+    succeed because sets are grouped by issue-of-data (decode_sets).
+    """
+    sets = decode_sets(subframes)
+    return sets[0].eph if sets else None
 
 
 def decode_ionoutc(sbf4: Subframe):

