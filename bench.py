@@ -46,9 +46,13 @@ _BASELINE_X = {16: 4.4, 8: 4.5, 1: 4.8}
 # rounding (45), baked table corrections (~16), gain mix + accumulate (6).
 _OPS_PER_CHAN_SAMPLE = 160
 # Assumed VPU int32 peak per chip: 2 TensorCores x (8 x 128)-lane VPU x
-# ~1.2 GHz x 1 op/lane/cycle ~ 2.5e12 ops/s. A stated assumption for an
-# MFU-style utilization figure, not a measured device ceiling.
-_VPU_PEAK_OPS = 2.5e12
+# ~1.75 GHz x 2 ALU ops/lane/cycle ~ 7.2e12 ops/s. A stated assumption
+# for an MFU-style utilization figure, not a measured device ceiling (the
+# tunneled chip's exact generation/clock is not exposed); measured
+# delivered ops (~2.8e12/s) put the kernel at ~0.4 of this assumption,
+# consistent with a select/shift-heavy instruction mix that cannot
+# dual-issue everywhere.
+_VPU_PEAK_OPS = 7.2e12
 
 
 # Sum of per-batch int32 checksums of the packed stream per format for the

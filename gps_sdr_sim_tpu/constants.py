@@ -63,9 +63,18 @@ SC16 = 16
 EPHEM_ARRAY_SIZE = 13
 
 # Kernel decomposition parameters (TPU-native; not in the reference).
-# Sub-block length in samples: phase ramps are rebased from host float64 every
-# SUBBLOCK samples so that the in-kernel 40-bit fixed-point closed form
-# (three 16-bit limbs in int32 arithmetic) never overflows and never drifts
-# more than ~1e-9 chips/cycles from the reference's float64 NCO.
-SUBBLOCK = 2048
+# Sub-block length in samples: phase ramps are rebased (exact integer
+# accumulation of the 2^56 step) every SUBBLOCK samples so the in-kernel
+# 40-bit fixed-point closed form (three 16-bit limbs in int32 arithmetic)
+# never overflows. The env override is a perf-tuning knob; measured on the
+# target chip (interleaved best-of-3 ablation, 2026-08-17): 2048 -> ~506x,
+# 4096 -> ~433x realtime (8192 hangs Mosaic compilation), so 2048 is the
+# tuned default. The xla and pallas paths stay bit-identical to EACH OTHER
+# at any value; different values may flip isolated razor-edge samples
+# (~2^-43 phase difference from the per-sub-block truncation point) within
+# the oracle budget.
+import os as _os
+
+SUBBLOCK = int(_os.environ.get("GPS_SDR_SIM_SUBBLOCK", "2048"))
+assert SUBBLOCK % 128 == 0 and SUBBLOCK <= 4096
 PHASE_FRAC_BITS = 40  # fixed-point resolution of the in-kernel phase ramp

@@ -40,7 +40,11 @@ _P_NAVBITS = 15
 _P_GAIN = 16
 PARAM_LANES = 32
 
-_TILE_ROWS = 16
+# Rows (sub-blocks) per kernel instance. Perf-tuning knob like SUBBLOCK;
+# grid tiles are independent so any value is correct.
+import os as _os
+
+_TILE_ROWS = int(_os.environ.get("GPS_SDR_SIM_TILE_ROWS", "16"))
 _INV1023 = np.float32(1.0 / 1023.0)
 
 

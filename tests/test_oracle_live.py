@@ -177,3 +177,25 @@ def test_cli_stderr_matches_oracle(oracle_bin, tmp_path, argv, _desc):
         # ECEF origin under this build) and its table is garbage. We
         # implement the intended Tokyo default (docs/PARITY.md).
         assert a[:3] == b[:3], (_desc, a[:3], b[:3])
+
+
+def test_deepcheck_sampled_blocks_smoke(oracle_bin, tmp_path):
+    """tools/deepcheck.py end-to-end on a short run: the streaming block
+    sampler, the per-block synthesis, and the pass criteria must hold.
+    (The committed DEEPCHECK_r02.json is the full 6.5 h artifact.)"""
+    import json
+    import os
+    import sys
+
+    out = tmp_path / "deep.json"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "tools/deepcheck.py", "--duration", "60",
+         "--filler-blocks", "1", "--block-epochs", "10",
+         "--json", str(out)],
+        capture_output=True, text=True, timeout=500, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(out.read_text())
+    assert summary["pass"] is True
+    assert summary["blocks"] >= 2
+    assert summary["worst_max_delta"] <= 4
