@@ -159,3 +159,36 @@ def test_runner_sharded_impls_match_single(scenario, impl):
     run_simulation(scenario, got, batch_epochs=2, log=lambda s: None,
                    impl=impl)
     assert got.getvalue() == ref.getvalue()
+
+
+def test_shard_resume_refuses_different_scenario(tmp_path):
+    """A stale shard dir from different inputs must be refused on resume,
+    even when bytes-per-epoch happen to match (manifest scenario hash)."""
+    cfg_a = ScenarioConfig(nav_file=str(DATA / "brdc3540.14n"),
+                           static_xyz=TOKYO, duration=0.4, samp_freq=SAMP)
+    out_dir = tmp_path / "shards"
+    run_simulation_sharded(build_scenario(cfg_a), str(out_dir), n_shards=2,
+                           batch_epochs=2, impl="xla")
+
+    other = llh2xyz(np.array([0.1, 0.2, 100.0]))
+    cfg_b = ScenarioConfig(nav_file=str(DATA / "brdc3540.14n"),
+                           static_xyz=other, duration=0.4, samp_freq=SAMP)
+    with pytest.raises(ValueError, match="different scenario"):
+        run_simulation_sharded(build_scenario(cfg_b), str(out_dir),
+                               n_shards=2, batch_epochs=2, impl="xla",
+                               resume=True)
+    # Same scenario resumes fine (no-op: all shards complete).
+    run_simulation_sharded(build_scenario(cfg_a), str(out_dir), n_shards=2,
+                           batch_epochs=2, impl="xla", resume=True)
+
+
+def test_sharded_run_returns_aggregated_stats(tmp_path):
+    """run_simulation_sharded aggregates RunStats (feeds --json-summary)."""
+    cfg = ScenarioConfig(nav_file=str(DATA / "brdc3540.14n"),
+                         static_xyz=TOKYO, duration=0.4, samp_freq=SAMP)
+    scn = build_scenario(cfg)
+    _manifest, stats = run_simulation_sharded(
+        scn, str(tmp_path / "s"), n_shards=2, batch_epochs=2, impl="xla")
+    assert stats.total_samples == scn.total_samples
+    assert stats.device_batches >= 2
+    assert stats.wall_seconds > 0
