@@ -126,3 +126,59 @@ def pluto_clamp_bw(bw_hz: float) -> float:
 
 def hackrf_filter_bw(sample_rate_hz: int) -> int:
     return _load_sdr().sdr_hackrf_filter_bw(sample_rate_hz)
+
+
+# ---- ByteRing (tools/bytering.cpp) ----
+# The bounded blocking ring that inverts the push pipeline into HackRF's
+# async-pull tx_callback (reference player/hackplayer.c:53-72). Compiled
+# without any vendor SDK so the shutdown/backpressure logic is testable.
+
+def _load_ring() -> ctypes.CDLL:
+    lib = _load()
+    if not hasattr(lib.pf_ring_new, "_typed"):
+        lib.pf_ring_new.restype = ctypes.c_void_p
+        lib.pf_ring_new.argtypes = [ctypes.c_size_t]
+        lib.pf_ring_push.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int8), ctypes.c_size_t]
+        lib.pf_ring_drain.restype = ctypes.c_size_t
+        lib.pf_ring_drain.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int8), ctypes.c_size_t]
+        lib.pf_ring_close.argtypes = [ctypes.c_void_p]
+        lib.pf_ring_fill.restype = ctypes.c_size_t
+        lib.pf_ring_fill.argtypes = [ctypes.c_void_p]
+        lib.pf_ring_wait_drained.restype = ctypes.c_int
+        lib.pf_ring_wait_drained.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.pf_ring_free.argtypes = [ctypes.c_void_p]
+        lib.pf_ring_new._typed = True
+    return lib
+
+
+class ByteRing:
+    """Python handle on the native blocking byte ring (for tests)."""
+
+    def __init__(self, capacity: int):
+        self._lib = _load_ring()
+        self._h = self._lib.pf_ring_new(capacity)
+
+    def push(self, data: np.ndarray) -> None:
+        data = np.ascontiguousarray(data, dtype=np.int8)
+        self._lib.pf_ring_push(self._h, _ptr(data, ctypes.c_int8), data.size)
+
+    def drain(self, want: int) -> np.ndarray:
+        out = np.empty(want, dtype=np.int8)
+        got = self._lib.pf_ring_drain(self._h, _ptr(out, ctypes.c_int8), want)
+        return out[:got]
+
+    def close(self) -> None:
+        self._lib.pf_ring_close(self._h)
+
+    def fill(self) -> int:
+        return self._lib.pf_ring_fill(self._h)
+
+    def wait_drained(self, timeout_ms: int) -> bool:
+        return bool(self._lib.pf_ring_wait_drained(self._h, timeout_ms))
+
+    def free(self) -> None:
+        if self._h:
+            self._lib.pf_ring_free(self._h)
+            self._h = None

@@ -199,6 +199,56 @@ def test_sdr_option_clamps_match_reference():
     assert playerfmt.hackrf_filter_bw(10000000) == 9000000
 
 
+def test_bytering_push_pull_inversion():
+    """The HackRF shim's ring (tools/bytering.cpp): a push-side producer
+    and the async-pull consumer exchange bytes losslessly through a ring
+    smaller than the payload, with blocking backpressure, wrap-around, and
+    the close-then-drain-dry EOF contract of hack_tx_callback."""
+    import threading
+
+    from gps_sdr_sim_tpu.utils import playerfmt
+
+    rng = np.random.default_rng(11)
+    payload = rng.integers(-128, 128, size=50000, dtype=np.int8)
+    ring = playerfmt.ByteRing(997)  # odd, < payload: forces wrap + blocking
+    chunks = []
+
+    def consumer():
+        while True:
+            got = ring.drain(1234)
+            chunks.append(got)
+            if got.size < 1234:  # short drain only once closed and dry
+                return
+
+    t = threading.Thread(target=consumer)
+    t.start()
+    # push() blocks while the ring is full; the consumer thread unblocks it.
+    for off in range(0, payload.size, 3000):
+        ring.push(payload[off:off + 3000])
+    assert ring.wait_drained(5000)
+    ring.close()
+    t.join(timeout=5)
+    assert not t.is_alive()
+    np.testing.assert_array_equal(np.concatenate(chunks), payload)
+    # Post-close: pushes drop silently, drains come up empty immediately.
+    ring.push(payload[:10])
+    assert ring.fill() == 0
+    assert ring.drain(64).size == 0
+    ring.free()
+
+
+def test_bytering_wait_drained_timeout():
+    from gps_sdr_sim_tpu.utils import playerfmt
+
+    ring = playerfmt.ByteRing(64)
+    ring.push(np.ones(8, dtype=np.int8))
+    assert not ring.wait_drained(50)  # data stuck, no consumer
+    assert ring.drain(8).size == 8
+    assert ring.wait_drained(50)
+    ring.close()
+    ring.free()
+
+
 def test_player_vendor_backends_fail_cleanly(tmp_path):
     """Without vendor SDKs at build time, each backend is recognized and
     fails with the compiled-out message (not a usage error)."""

@@ -120,56 +120,36 @@ void blade_close(void*) {}
 // ---------------------------------------------------------------------------
 // HackRF (reference: player/hackplayer.c). The vendor API is async-pull
 // (tx_callback freads into the USB transfer, hackplayer.c:53-72); our sink
-// contract is push. The shim inverts control with a byte ring buffer: the
-// pipeline's int16 values are narrowed to the 8-bit wire format the
-// reference transmits (its input file is the generator's -b 8 output) and
-// the callback drains the ring; send() blocks while the ring is full.
+// contract is push. The shim inverts control with a ByteRing (bytering.h,
+// compiled unconditionally so the push<->pull logic is unit-tested without
+// libhackrf): the pipeline's int16 values are narrowed to the 8-bit wire
+// format the reference transmits (its input file is the generator's -b 8
+// output) and the callback drains the ring; send() blocks while it's full.
 // ---------------------------------------------------------------------------
 #ifdef HAVE_LIBHACKRF
 #include <libhackrf/hackrf.h>
 
-#include <chrono>
-#include <condition_variable>
-#include <mutex>
-#include <vector>
+#include "bytering.h"
 
 namespace {
 
 struct HackState {
   hackrf_device* dev = nullptr;
-  std::vector<int8_t> ring;
-  size_t head = 0, tail = 0, fill = 0;  // ring-buffer cursors (bytes)
-  bool closing = false;
-  std::mutex mu;
-  std::condition_variable can_read, can_write;
+  ByteRing ring{1 << 18};  // 256 KiB elastic buffer
 };
 
 int hack_tx_callback(hackrf_transfer* transfer) {
   auto* st = static_cast<HackState*>(transfer->tx_ctx);
   size_t want = (size_t)transfer->valid_length;
-  std::unique_lock<std::mutex> lock(st->mu);
-  size_t got = 0;
-  while (got < want) {
-    if (st->fill == 0) {
-      if (st->closing) break;
-      st->can_read.wait(lock);
-      continue;
-    }
-    size_t n = want - got;
-    if (n > st->fill) n = st->fill;
-    if (n > st->ring.size() - st->head) n = st->ring.size() - st->head;
-    memcpy(transfer->buffer + got, st->ring.data() + st->head, n);
-    st->head = (st->head + n) % st->ring.size();
-    st->fill -= n;
-    got += n;
-  }
-  st->can_write.notify_all();
+  size_t got = st->ring.drain(
+      reinterpret_cast<int8_t*>(transfer->buffer), want);
   if (got < want) {
-    // EOF: pad the final transfer with zeros (the reference returns -1 and
-    // drops the tail; padding keeps the last real samples on air, matching
-    // bladeplayer's PAD_TRAILING behavior).
+    // drain() comes up short only once the ring is closed and dry. Pad the
+    // final transfer with zeros (the reference returns -1 and drops the
+    // tail; padding keeps the last real samples on air, matching
+    // bladeplayer's trailing-block behavior) and end the stream.
     memset(transfer->buffer + got, 0, want - got);
-    return st->closing ? -1 : 0;
+    return -1;
   }
   return 0;
 }
@@ -198,9 +178,6 @@ void* hack_open(const SdrConfig& cfg, const char** error) {
     hackrf_exit();
     return nullptr;
   }
-  st.ring.assign(1 << 18, 0);  // 256 KiB elastic buffer
-  st.head = st.tail = st.fill = 0;
-  st.closing = false;
   if (hackrf_start_tx(st.dev, hack_tx_callback, &st) != HACKRF_SUCCESS ||
       hackrf_set_freq(st.dev, (uint64_t)cfg.frequency_hz) != HACKRF_SUCCESS ||
       hackrf_set_amp_enable(st.dev, 1) != HACKRF_SUCCESS) {
@@ -214,34 +191,27 @@ void* hack_open(const SdrConfig& cfg, const char** error) {
 
 int hack_send(const int16_t* values, size_t n_values, void* user) {
   auto* st = static_cast<HackState*>(user);
-  std::unique_lock<std::mutex> lock(st->mu);
-  for (size_t k = 0; k < n_values; ++k) {
-    while (st->fill == st->ring.size()) {
-      st->can_write.wait(lock);
+  // 16-bit pipeline values -> the 8-bit wire samples the reference streams
+  // (the generator's own 16->8 rule, gpssim.c:2278-2284), in bounded chunks.
+  int8_t wire[4096];
+  size_t done = 0;
+  while (done < n_values) {
+    size_t n = n_values - done;
+    if (n > sizeof(wire)) n = sizeof(wire);
+    for (size_t k = 0; k < n; ++k) {
+      wire[k] = (int8_t)(values[done + k] >> 4);
     }
-    // 16-bit pipeline value -> the 8-bit wire sample the reference streams
-    // (the generator's own 16->8 rule, gpssim.c:2278-2284).
-    st->ring[st->tail] = (int8_t)(values[k] >> 4);
-    st->tail = (st->tail + 1) % st->ring.size();
-    st->fill++;
+    st->ring.push(wire, n);
+    done += n;
   }
-  st->can_read.notify_all();
   return 0;
 }
 
 void hack_close(void* user) {
   auto* st = static_cast<HackState*>(user);
-  {
-    std::lock_guard<std::mutex> lock(st->mu);
-    st->closing = true;
-    st->can_read.notify_all();
-  }
-  // Let the callback drain the ring before stopping.
-  {
-    std::unique_lock<std::mutex> lock(st->mu);
-    st->can_write.wait_for(lock, std::chrono::seconds(2),
-                           [st] { return st->fill == 0; });
-  }
+  // Let the callback flush the tail before stopping the stream.
+  st->ring.wait_drained(2000);
+  st->ring.close();
   hackrf_stop_tx(st->dev);
   hackrf_close(st->dev);
   hackrf_exit();
