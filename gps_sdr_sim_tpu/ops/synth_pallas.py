@@ -2,15 +2,31 @@
 
 Same mathematical contract as ops/synth_jnp.py (the per-sample hot loop of
 gpssim.c:2190-2264 in closed form), but hand-fused: one kernel instance
-synthesizes a [TILE_ROWS, SUBBLOCK] block of samples for all channels with
-every intermediate in VMEM/registers -- no HBM round-trips between the
+synthesizes TILE_ROWS sub-blocks of samples for all channels with every
+intermediate in VMEM/registers -- no HBM round-trips between the
 per-channel chains, which is where the XLA-fused version loses time.
 
-Layout: the epoch/sub-block structure is flattened to rows (row = one
-sub-block of one epoch); per-row-per-channel parameters are packed into a
-[ROWS, C*32] int32 array (32 lanes per channel, see _P* indices), so each
-channel's scalars are a static lane slice broadcast against the in-kernel
-sample iota.
+Layout (v2, measured +65% over the original where-tree/polynomial form on
+TPU v5e): per-(sub-block, channel) parameters are packed into a
+[ROWS, C*32] int32 array (32 lanes per channel, see _P* indices) and
+streamed through SMEM, so every parameter is a true scalar operand fused
+into the VPU ops -- no [rows, 1] strided loads or lane broadcasts. Each
+sub-block is computed as a (SUBBLOCK/128, 128) slab, which makes every
+table lookup a single in-register `tpu.dynamic_gather` (lane-indexed,
+exact-shape `jnp.take_along_axis`):
+
+ - the C/A chip word (32 bit-packed words/channel) is one gather instead
+   of a 31-select where-tree;
+ - sin/cos come from ONE gather of a 128-entry quarter-folded table whose
+   entries pack sinTable512|cosTable512<<16 (gpssim.c:15-83): for table
+   index i = q*128 + r, the identity sinT[127-r] = cosT[r] (first
+   quadrant) means lane r (q even) or 127-r (q odd) yields the
+   (sin, cos) magnitude pair directly, with quadrant signs applied by
+   xor-sub. Exact table values by construction -- no polynomial, no
+   per-backend rounding corrections.
+
+dynamic_gather constraints probed on this chip: int32 only, lane axis
+exactly 128, any sublane count; hence the 128-lane slab geometry.
 """
 
 from __future__ import annotations
@@ -25,7 +41,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gps_sdr_sim_tpu.constants import CA_SEQ_LEN, SUBBLOCK
 from gps_sdr_sim_tpu.ops.plan import DeviceBatch
-from gps_sdr_sim_tpu.ops.synth_jnp import _select32, _trig_formula
 from gps_sdr_sim_tpu.ops.tables import COS_TABLE512, SIN_TABLE512
 
 # Parameter lane assignment within a channel's 32-lane strip.
@@ -40,11 +55,16 @@ _P_NAVBITS = 15
 _P_GAIN = 16
 PARAM_LANES = 32
 
-# Rows (sub-blocks) per kernel instance. Perf-tuning knob like SUBBLOCK;
-# grid tiles are independent so any value is correct.
+# Sub-blocks per kernel instance. Perf-tuning knob like SUBBLOCK; grid
+# tiles are independent so any multiple of 8 (the SMEM block-row rule) is
+# correct. Measured on the target v5e: 8 and 16 within noise.
 import os as _os
 
 _TILE_ROWS = int(_os.environ.get("GPS_SDR_SIM_TILE_ROWS", "16"))
+if _TILE_ROWS % 8:
+    raise ValueError("GPS_SDR_SIM_TILE_ROWS must be a multiple of 8 "
+                     "(SMEM block rows)")
+_SLAB = SUBBLOCK // 128  # 128-lane rows per sub-block
 _INV1023 = np.float32(1.0 / 1023.0)
 
 
@@ -54,133 +74,143 @@ def _interpret() -> bool:
 
 _INV20 = np.float32(1.0 / 20.0)
 
-# _trig_formula and _select32 are shared with the XLA kernel
-# (ops/synth_jnp.py) — the rounding recipe is correctness-critical
-# (bit-parity with the C tables), so there is exactly one copy.
+# _select32/_trig_formula (shared with ops/synth_jnp.py) are not used by
+# the gather kernel, but the quarter-fold identity below is derived from
+# the same table rule, so the packed table is built from the exact arrays.
+
+# 128-entry quarter-folded lookup table: entry r packs the first-quadrant
+# pair sinTable512[r] (low 16) | cosTable512[r] << 16 (gpssim.c:15-83).
+# The remaining quadrants follow from sin(pi/2+x)=cos(x) etc.; see
+# _make_kernel.
+_PACKED_Q0 = ((SIN_TABLE512[:128].astype(np.int64) & 0xFFFF)
+              | (COS_TABLE512[:128].astype(np.int64) << 16)).astype(np.int32)
 
 
-@lru_cache(maxsize=None)
-def _pallas_trig_corrections():
-    """Corrections for Mosaic's f32 trig vs the exact reference table."""
-
-    def kernel(out_s_ref, out_c_ref):
-        i = (jax.lax.broadcasted_iota(jnp.int32, (4, 128), 0) * 128
-             + jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1))
-        s, c = _trig_formula(i)
-        out_s_ref[:] = s
-        out_c_ref[:] = c
-
-    s, c = pl.pallas_call(
-        kernel,
-        out_shape=(jax.ShapeDtypeStruct((4, 128), jnp.int32),
-                   jax.ShapeDtypeStruct((4, 128), jnp.int32)),
-        interpret=_interpret(),
-    )()
-    ds = SIN_TABLE512 - np.asarray(s).reshape(-1)
-    dc = COS_TABLE512 - np.asarray(c).reshape(-1)
-    return (tuple((int(i), int(ds[i])) for i in np.nonzero(ds)[0]),
-            tuple((int(i), int(dc[i])) for i in np.nonzero(dc)[0]))
-
-
-def _make_kernel(n_chan: int, sin_fix, cos_fix, quantize: bool = True):
+def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True):
     """quantize=False emits the raw int32 accumulators (pre-(acc+64)>>7)
     so a channel-sharded caller can psum partial sums over ICI before
     quantizing — the reference sums ALL channels first (gpssim.c:2192-2259),
     so reduction placement is correctness-relevant."""
-    def kernel(params_ref, ca_ref, i_ref, q_ref):
-        r = jax.lax.broadcasted_iota(jnp.int32, (_TILE_ROWS, SUBBLOCK), 1)
-        iacc = jnp.zeros((_TILE_ROWS, SUBBLOCK), jnp.int32)
-        qacc = jnp.zeros((_TILE_ROWS, SUBBLOCK), jnp.int32)
+    def kernel(params_ref, ca_ref, tbl_ref, i_ref, q_ref):
+        shape = (_SLAB, 128)
+        # sample index within the sub-block
+        r = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * 128
+             + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+        tbl_b = jnp.broadcast_to(tbl_ref[0:1, :], shape)
+        ca_b = [jnp.broadcast_to(ca_ref[c:c + 1, :], shape)
+                for c in range(n_chan)]
 
-        for c in range(n_chan):
-            base = c * PARAM_LANES
+        for s in range(tile_rows):
+            iacc = jnp.zeros(shape, jnp.int32)
+            qacc = jnp.zeros(shape, jnp.int32)
+            for c in range(n_chan):
+                base = c * PARAM_LANES
 
-            def p(lane):
-                return params_ref[:, base + lane][:, None]  # [TILE, 1]
+                def p(lane):
+                    return params_ref[s, base + lane]  # SMEM scalar
 
-            # --- code-phase ramp ---
-            v0 = p(_P_CODE_P + 0) + r * p(_P_CODE_S + 0)
-            v1 = p(_P_CODE_P + 1) + r * p(_P_CODE_S + 1)
-            v2 = p(_P_CODE_P + 2) + r * p(_P_CODE_S + 2)
-            v1 = v1 + (v0 >> 16)
-            v2 = v2 + (v1 >> 16)
-            T = p(_P_TBASE) + (v2 >> 8)
+                # --- code-phase ramp ---
+                v0 = p(_P_CODE_P + 0) + r * p(_P_CODE_S + 0)
+                v1 = p(_P_CODE_P + 1) + r * p(_P_CODE_S + 1)
+                v2 = p(_P_CODE_P + 2) + r * p(_P_CODE_S + 2)
+                v1 = v1 + (v0 >> 16)
+                v2 = v2 + (v1 >> 16)
+                T = p(_P_TBASE) + (v2 >> 8)
 
-            M = jnp.floor((T.astype(jnp.float32) + 0.5)
-                          * _INV1023).astype(jnp.int32)
-            chip = T - CA_SEQ_LEN * M
+                M = jnp.floor((T.astype(jnp.float32) + 0.5)
+                              * _INV1023).astype(jnp.int32)
+                chip = T - CA_SEQ_LEN * M
 
-            words = [ca_ref[c, w] for w in range(32)]
-            word = _select32(words, chip >> 5)
-            ca_val = 2 * ((word >> (chip & 31)) & 1) - 1
+                # C/A chip: one lane-gather of the bit-packed word
+                word = jnp.take_along_axis(ca_b[c], chip >> 5, axis=1)
+                ca_val = 2 * ((word >> (chip & 31)) & 1) - 1
 
-            mg = p(_P_M0) + M
-            bidx = jnp.floor((mg.astype(jnp.float32) + 0.5)
-                             * _INV20).astype(jnp.int32)
-            j = bidx - p(_P_B0)
-            bit_val = 2 * ((p(_P_NAVBITS) >> j) & 1) - 1
+                mg = p(_P_M0) + M
+                bidx = jnp.floor((mg.astype(jnp.float32) + 0.5)
+                                 * _INV20).astype(jnp.int32)
+                j = bidx - p(_P_B0)
+                bit_val = 2 * ((p(_P_NAVBITS) >> j) & 1) - 1
 
-            # --- carrier-phase ramp ---
-            w0 = p(_P_CARR_P + 0) + r * p(_P_CARR_S + 0)
-            w1 = p(_P_CARR_P + 1) + r * p(_P_CARR_S + 1)
-            w2 = p(_P_CARR_P + 2) + r * p(_P_CARR_S + 2)
-            w1 = w1 + (w0 >> 16)
-            w2 = w2 + (w1 >> 16)
-            i_tab = ((w2 << 1) | ((w1 >> 15) & 1)) & 0x1FF
-            sin_v, cos_v = _trig_formula(i_tab)
-            for i0, dv in sin_fix:
-                sin_v = sin_v + dv * (i_tab == i0)
-            for i0, dv in cos_fix:
-                cos_v = cos_v + dv * (i_tab == i0)
+                # --- carrier-phase ramp ---
+                w0 = p(_P_CARR_P + 0) + r * p(_P_CARR_S + 0)
+                w1 = p(_P_CARR_P + 1) + r * p(_P_CARR_S + 1)
+                w2 = p(_P_CARR_P + 2) + r * p(_P_CARR_S + 2)
+                w1 = w1 + (w0 >> 16)
+                w2 = w2 + (w1 >> 16)
+                i_tab = ((w2 << 1) | ((w1 >> 15) & 1)) & 0x1FF
 
-            m = bit_val * ca_val * p(_P_GAIN)
-            iacc = iacc + m * cos_v
-            qacc = qacc + m * sin_v
+                # --- sin/cos: one gather of the quarter-folded table ---
+                # i_tab = qq*128 + rr. For odd qq, lane 127-rr is fetched;
+                # sinT[127-rr] = cosT[rr] and cosT[127-rr] = sinT[rr], so
+                # the flip itself performs the sin<->cos swap of the
+                # odd quadrants. Quadrant signs: sin < 0 for qq in {2,3},
+                # cos < 0 for qq in {1,2}; applied as xor-sub negation.
+                lane = i_tab & 127
+                qq = i_tab >> 7
+                lane = jnp.where((qq & 1) == 1, 127 - lane, lane)
+                w = jnp.take_along_axis(tbl_b, lane, axis=1)
+                sin_v = (w << 16) >> 16
+                cos_v = w >> 16
+                ns = -(qq >> 1)                  # 0 or -1
+                nc = -(((qq + 1) >> 1) & 1)
+                sin_v = (sin_v ^ ns) - ns
+                cos_v = (cos_v ^ nc) - nc
 
-        if quantize:
-            i_ref[:] = ((iacc + 64) >> 7).astype(jnp.int16)
-            q_ref[:] = ((qacc + 64) >> 7).astype(jnp.int16)
-        else:
-            i_ref[:] = iacc
-            q_ref[:] = qacc
+                m = bit_val * ca_val * p(_P_GAIN)
+                iacc = iacc + m * cos_v
+                qacc = qacc + m * sin_v
+
+            sl = slice(s * _SLAB, (s + 1) * _SLAB)
+            if quantize:
+                i_ref[sl, :] = ((iacc + 64) >> 7).astype(jnp.int16)
+                q_ref[sl, :] = ((qacc + 64) >> 7).astype(jnp.int16)
+            else:
+                i_ref[sl, :] = iacc
+                q_ref[sl, :] = qacc
 
     return kernel
 
 
 @lru_cache(maxsize=None)
 def _get_pallas_fn(n_chan: int, quantize: bool = True):
-    sin_fix, cos_fix = _pallas_trig_corrections()
-    kernel = _make_kernel(n_chan, sin_fix, cos_fix, quantize)
+    kernel = _make_kernel(n_chan, _TILE_ROWS, quantize)
     out_dtype = jnp.int16 if quantize else jnp.int32
+    tbl = _PACKED_Q0.reshape(1, 128)
 
     @jax.jit
     def run(params, ca_words):
         rows = params.shape[0]
         grid = (rows // _TILE_ROWS,)
-        return pl.pallas_call(
+        # gather operands must span 128 lanes; word indices are < 32
+        ca_in = jnp.pad(ca_words, ((0, 0), (0, 128 - ca_words.shape[1])))
+        i16, q16 = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((_TILE_ROWS, params.shape[1]),
-                             lambda i: (i, 0), memory_space=pltpu.VMEM),
+                             lambda i: (i, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # ca_words whole
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # packed trig table
             ],
             out_specs=(
-                pl.BlockSpec((_TILE_ROWS, SUBBLOCK), lambda i: (i, 0),
+                pl.BlockSpec((_TILE_ROWS * _SLAB, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((_TILE_ROWS, SUBBLOCK), lambda i: (i, 0),
+                pl.BlockSpec((_TILE_ROWS * _SLAB, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((rows, SUBBLOCK), out_dtype),
-                jax.ShapeDtypeStruct((rows, SUBBLOCK), out_dtype),
+                jax.ShapeDtypeStruct((rows * _SLAB, 128), out_dtype),
+                jax.ShapeDtypeStruct((rows * _SLAB, 128), out_dtype),
             ),
-            # Row tiles are independent: let Mosaic split the grid across
-            # Megacore TensorCores where the chip has them.
+            # Sub-block tiles are independent: let Mosaic split the grid
+            # across TensorCores where the chip has them.
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",)),
             interpret=_interpret(),
-        )(params, ca_words)
+        )(params, ca_in, jnp.asarray(tbl))
+        # (rows*_SLAB, 128) flattens to the same sample order as
+        # (rows, SUBBLOCK); reshape is layout-preserving.
+        return (i16.reshape(rows, SUBBLOCK), q16.reshape(rows, SUBBLOCK))
 
     return run
 
