@@ -325,3 +325,34 @@ def plan_epochs(seg: Segment, e0: int, e1: int, delt: float,
 def pad_epochs(eb: EpochBatch, target_b: int) -> EpochBatch:
     """Pad an EpochBatch to `target_b` epochs (zero gain => silence)."""
     return pad_epoch_axis(eb, target_b)
+
+
+# Compact host->device wire format for an EpochBatch. The device behind
+# this environment's tunnel costs ~2 ms PER transfer (latency-dominated),
+# so the ten per-batch arrays are coalesced into ONE [B, C, 12] int32
+# upload; the 8-bit limb arrays are further packed 4-per-int32 (the
+# device unpacks with shifts, synth_pallas._unpack_wire).
+WIRE_LANES = 12
+
+
+def _pack4(l8: np.ndarray) -> np.ndarray:
+    """[..., 8] 8-bit limbs -> [..., 2] int32 (4 limbs per word)."""
+    x = l8.astype(np.int64)
+    lo = x[..., 0] | (x[..., 1] << 8) | (x[..., 2] << 16) | (x[..., 3] << 24)
+    hi = x[..., 4] | (x[..., 5] << 8) | (x[..., 6] << 16) | (x[..., 7] << 24)
+    return np.stack([lo, hi], axis=-1).astype(np.uint32).view(np.int32)
+
+
+def pack_epoch_wire(eb: EpochBatch) -> np.ndarray:
+    """EpochBatch -> single [B, C, WIRE_LANES] int32 upload."""
+    B, C = eb.t0.shape
+    w = np.empty((B, C, WIRE_LANES), dtype=np.int32)
+    w[..., 0:2] = _pack4(eb.code_f8)
+    w[..., 2:4] = _pack4(eb.code_s8)
+    w[..., 4:6] = _pack4(eb.carr_f8)
+    w[..., 6:8] = _pack4(eb.carr_s8)
+    w[..., 8] = eb.t0
+    w[..., 9] = eb.m0 | (eb.b0 << 16)  # m0 < 2^16, b0 < 2^11
+    w[..., 10] = eb.navbits
+    w[..., 11] = eb.gain
+    return w

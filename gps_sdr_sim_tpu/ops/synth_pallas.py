@@ -281,14 +281,30 @@ def _device_rebase(f8, s8, k0):
     return (l16_0, l16_1, l16_2), t_int
 
 
+def _unpack_wire(wire):
+    """Invert plan.pack_epoch_wire on device (cheap shifts on [B, C])."""
+    def u8(lane):  # lanes (lane, lane+1) -> [B, C, 8] 8-bit limbs
+        parts = [(wire[..., lane + (j // 4)] >> (8 * (j % 4))) & 0xFF
+                 for j in range(8)]
+        return jnp.stack(parts, axis=-1)
+
+    return dict(
+        code_f8=u8(0), code_s8=u8(2), carr_f8=u8(4), carr_s8=u8(6),
+        t0=wire[..., 8], m0=wire[..., 9] & 0xFFFF, b0=wire[..., 9] >> 16,
+        navbits=wire[..., 10], gain=wire[..., 11])
+
+
 @lru_cache(maxsize=None)
 def _get_epoch_fn(n_chan: int, sub_blocks: int, n_out: int):
     pallas_fn_inner = _get_pallas_fn(n_chan)
     SB = sub_blocks
 
     @jax.jit
-    def run(t0, code_f8, code_s8, carr_f8, carr_s8, m0, b0, navbits, gain,
-            ca_words):
+    def run(wire, ca_words):
+        u = _unpack_wire(wire)
+        t0, code_f8, code_s8 = u["t0"], u["code_f8"], u["code_s8"]
+        carr_f8, carr_s8 = u["carr_f8"], u["carr_s8"]
+        m0, b0, navbits, gain = u["m0"], u["b0"], u["navbits"], u["gain"]
         B, C = t0.shape
         k0 = jnp.arange(SB, dtype=jnp.int32) * SUBBLOCK
 
@@ -331,13 +347,31 @@ def _get_epoch_fn(n_chan: int, sub_blocks: int, n_out: int):
     return run
 
 
+# Per-segment C/A word tables are identical across every batch of the
+# segment; cache their device copies so each is uploaded once (transfers
+# over this environment's tunnel cost ~2 ms each).
+_CA_DEVICE_CACHE: dict = {}
+
+
+def _ca_device(ca_words: np.ndarray) -> jax.Array:
+    key = ca_words.tobytes()
+    dev = _CA_DEVICE_CACHE.get(key)
+    if dev is None:
+        if len(_CA_DEVICE_CACHE) > 64:
+            _CA_DEVICE_CACHE.clear()
+        dev = _CA_DEVICE_CACHE[key] = jnp.asarray(ca_words)
+    return dev
+
+
 def synth_epochs(eb, n_out: int) -> jax.Array:
-    """EpochBatch -> [B, n_out, 2] int16; rebase and synthesis on device."""
+    """EpochBatch -> [B, n_out, 2] int16; rebase and synthesis on device.
+
+    The batch crosses the host->device boundary as ONE coalesced array
+    (plan.pack_epoch_wire) to amortize per-transfer latency.
+    """
+    from gps_sdr_sim_tpu.ops.plan import pack_epoch_wire
+
     sub_blocks = -(-n_out // SUBBLOCK)
     n_chan = max(eb.n_chan, 1)
     fn = _get_epoch_fn(n_chan, sub_blocks, n_out)
-    return fn(jnp.asarray(eb.t0), jnp.asarray(eb.code_f8),
-              jnp.asarray(eb.code_s8), jnp.asarray(eb.carr_f8),
-              jnp.asarray(eb.carr_s8), jnp.asarray(eb.m0),
-              jnp.asarray(eb.b0), jnp.asarray(eb.navbits),
-              jnp.asarray(eb.gain), jnp.asarray(eb.ca_words))
+    return fn(jnp.asarray(pack_epoch_wire(eb)), _ca_device(eb.ca_words))
