@@ -39,18 +39,20 @@ _ROOT = pathlib.Path(__file__).parent
 # Makefile:32-35), per format.
 _BASELINE_X = {16: 4.4, 8: 4.5, 1: 4.8}
 
-# Hand count of int32 VPU ops per (channel, sample) in the fused kernel
-# (ops/synth_pallas.py): two 3-limb phase ramps + carries (24), chip index
-# + wrap (7), 5-level where-tree chip select (41), chip/nav bit extraction
-# (15), table index fold (5), quadrant-folded degree-9 sin/cos pair +
-# rounding (45), baked table corrections (~16), gain mix + accumulate (6).
-_OPS_PER_CHAN_SAMPLE = 160
+# Hand count of int32 VPU ops per (channel, sample) in the fused gather
+# kernel (ops/synth_pallas.py): two 3-limb phase ramps + carries, scalar
+# operands from SMEM (22), chip index + wrap (7), C/A word dynamic_gather
+# + bit extract (6), nav-bit window (11), table index fold (5),
+# quarter-folded packed sin/cos gather + sign fixup (13), gain mix +
+# accumulate (6).
+_OPS_PER_CHAN_SAMPLE = 70
 # Assumed VPU int32 peak per chip: 2 TensorCores x (8 x 128)-lane VPU x
 # ~1.75 GHz x 2 ALU ops/lane/cycle ~ 7.2e12 ops/s. A stated assumption
 # for an MFU-style utilization figure, not a measured device ceiling (the
 # tunneled chip's exact generation/clock is not exposed); measured
-# delivered ops (~2.8e12/s) put the kernel at ~0.4 of this assumption,
-# consistent with a select/shift-heavy instruction mix that cannot
+# delivered ops (~2.8e12/s at the 1160x headline; the kernel alone
+# sustains ~3.5e12/s with transfers excluded) put the pipeline at ~0.4 of
+# this assumption — gathers and the int-multiply-heavy ramp mix cannot
 # dual-issue everywhere.
 _VPU_PEAK_OPS = 7.2e12
 
