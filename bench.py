@@ -111,21 +111,28 @@ def main() -> int:
 
     checksum = jax.jit(lambda iq: jnp.sum(iq.astype(jnp.int32)))
 
-    def synth_one(seg, e0, e1, fmt):
-        if ns.impl == "pallas":
-            eb = pad_epochs(plan_epochs(seg, e0, e1, scn.delt), B)
-            return pack(synth_pallas.synth_epochs(eb, n), fmt)
-        db = _pad_batch(plan_batch(seg, e0, e1, n, scn.delt), B)
-        return pack(synth_jnp.synth_batch(db, n), fmt)
+    def _stage(seg, e0, e1):
+        return synth_pallas.stage_epochs(
+            pad_epochs(plan_epochs(seg, e0, e1, scn.delt), B))
 
     batches = list(iter_seg_batches(scn, 0, scn.n_output_epochs, B))
 
     def one_pass(fmt):
         t0 = time.time()
         sums = []
-        for seg, e0, e1 in batches:
+        staged = None  # pallas: one-batch-lookahead upload (see runner)
+        for idx, (seg, e0, e1) in enumerate(batches):
             # All pack formats keep the epoch axis ([B, N, 2] or [B, N//4]).
-            iq = synth_one(seg, e0, e1, fmt)
+            if ns.impl == "pallas":
+                if staged is None:
+                    staged = _stage(seg, e0, e1)
+                iq = pack(synth_pallas.synth_staged(staged, n), fmt)
+                staged = None
+                if idx + 1 < len(batches):
+                    staged = _stage(*batches[idx + 1])
+            else:
+                db = _pad_batch(plan_batch(seg, e0, e1, n, scn.delt), B)
+                iq = pack(synth_jnp.synth_batch(db, n), fmt)
             sums.append(checksum(iq[:e1 - e0]))
         # One tiny readback (len(batches) int32s) closes the pipeline;
         # stacking device-side avoids a sync round-trip per batch.

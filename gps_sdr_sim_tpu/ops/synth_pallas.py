@@ -363,15 +363,28 @@ def _ca_device(ca_words: np.ndarray) -> jax.Array:
     return dev
 
 
-def synth_epochs(eb, n_out: int) -> jax.Array:
-    """EpochBatch -> [B, n_out, 2] int16; rebase and synthesis on device.
+def stage_epochs(eb):
+    """Start the (async) host->device upload of an EpochBatch.
 
-    The batch crosses the host->device boundary as ONE coalesced array
-    (plan.pack_epoch_wire) to amortize per-transfer latency.
-    """
+    The batch crosses the boundary as ONE coalesced array
+    (plan.pack_epoch_wire) to amortize per-transfer latency; callers that
+    stage batch k+1 before synthesizing batch k overlap the upload with
+    device compute (worth ~1.5x end-to-end behind this environment's
+    tunnel — see runner.run_epoch_range)."""
     from gps_sdr_sim_tpu.ops.plan import pack_epoch_wire
 
+    return (jnp.asarray(pack_epoch_wire(eb)), _ca_device(eb.ca_words),
+            max(eb.n_chan, 1))
+
+
+def synth_staged(staged, n_out: int) -> jax.Array:
+    """Staged upload (stage_epochs) -> [B, n_out, 2] int16 on device."""
+    wire, ca_dev, n_chan = staged
     sub_blocks = -(-n_out // SUBBLOCK)
-    n_chan = max(eb.n_chan, 1)
     fn = _get_epoch_fn(n_chan, sub_blocks, n_out)
-    return fn(jnp.asarray(pack_epoch_wire(eb)), _ca_device(eb.ca_words))
+    return fn(wire, ca_dev)
+
+
+def synth_epochs(eb, n_out: int) -> jax.Array:
+    """EpochBatch -> [B, n_out, 2] int16; rebase and synthesis on device."""
+    return synth_staged(stage_epochs(eb), n_out)
