@@ -179,6 +179,26 @@ def test_cli_stderr_matches_oracle(oracle_bin, tmp_path, argv, _desc):
         assert a[:3] == b[:3], (_desc, a[:3], b[:3])
 
 
+def test_fuzz_oracle_smoke(oracle_bin, tmp_path):
+    """tools/fuzz_oracle.py end-to-end on a few seeded cases: random
+    scenario matrix vs the live oracle, samples + stderr both compared.
+    (The committed FUZZ_r02.json is the full 24-case artifact.)"""
+    import json
+    import os
+    import sys
+
+    out = tmp_path / "fuzz.json"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "tools/fuzz_oracle.py", "--cases", "3",
+         "--seed", "7", "--cpu", "--json", str(out)],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    summary = json.loads(out.read_text())
+    assert summary["pass"] is True
+    assert summary["passed"] >= 2  # a case may skip if the oracle rejects
+
+
 def test_deepcheck_sampled_blocks_smoke(oracle_bin, tmp_path):
     """tools/deepcheck.py end-to-end on a short run: the streaming block
     sampler, the per-block synthesis, and the pass criteria must hold.

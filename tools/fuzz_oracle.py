@@ -1,0 +1,234 @@
+"""Randomized-scenario oracle fuzz: drive this framework's CLI and the C
+reference over a seeded random matrix of configurations and diff BOTH
+output channels — the sample stream (per-format error budget) and the
+stderr channel tables (byte-compared after stripping progress lines).
+
+Dimensions fuzzed per case: position (random -l LLH or -c ECEF, incl.
+negative getopt operands), trajectory mode (static / -u user motion /
+-g NMEA), sample rate (incl. non-multiple-of-10 values, exercising the
+flooring of gpssim.c:1876-1879), output format (-b 1/8/16), duration,
+start time (-t within the ephemeris span), iono disable (-i), verbose
+(-v), and carrier NCO mode (--carrier-phase fixed vs a reference build
+with FLOAT_CARR_PHASE undefined).
+
+Usage:
+  python tools/fuzz_oracle.py [--cases 16] [--seed 0] [--json out.json]
+      [--impl xla|pallas] [--cpu]
+
+Exit 0 = every case passed. The committed artifact is FUZZ_r02.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+REF = pathlib.Path("/root/reference")
+NAV = str(ROOT / "data" / "brdc3540.14n")
+
+
+def build_oracles(tmp: pathlib.Path):
+    """Compile the reference twice: default (float carrier) and with
+    FLOAT_CARR_PHASE undefined (the 32-bit fixed-point NCO variant)."""
+    for f in ("gpssim.c", "gpssim.h"):
+        shutil.copy(REF / f, tmp / f)
+    subprocess.run(["gcc", "gpssim.c", "-lm", "-O3", "-o", "gps-sdr-sim"],
+                   cwd=tmp, check=True, capture_output=True)
+    fixed = tmp / "fixed"
+    fixed.mkdir()
+    shutil.copy(REF / "gpssim.c", fixed / "gpssim.c")
+    hdr = (REF / "gpssim.h").read_text()
+    (fixed / "gpssim.h").write_text(
+        hdr.replace("#define FLOAT_CARR_PHASE", "// #define FLOAT_CARR_PHASE"))
+    subprocess.run(["gcc", "gpssim.c", "-lm", "-O3", "-o", "gps-sdr-sim"],
+                   cwd=fixed, check=True, capture_output=True)
+    return tmp / "gps-sdr-sim", fixed / "gps-sdr-sim"
+
+
+def llh2xyz(llh_deg):
+    """WGS84 geodetic (degrees) -> ECEF, matching gpssim.c:279-311."""
+    a, e2 = 6378137.0, 0.00669437999014
+    lat, lon, hgt = np.radians(llh_deg[0]), np.radians(llh_deg[1]), llh_deg[2]
+    n = a / np.sqrt(1.0 - e2 * np.sin(lat) ** 2)
+    return ((n + hgt) * np.cos(lat) * np.cos(lon),
+            (n + hgt) * np.cos(lat) * np.sin(lon),
+            (n * (1.0 - e2) + hgt) * np.sin(lat))
+
+
+def gen_case(rng: np.random.Generator) -> dict:
+    mode = rng.choice(["static", "static", "static", "um", "gga"])
+    bits = int(rng.choice([1, 8, 16]))
+    fs_pool = [1.0e6, 1.5e6, 2.048e6, 2.6e6, 3.2e6,
+               float(rng.integers(1_000_000, 3_500_000))]
+    fs = float(rng.choice(fs_pool))
+    dur = round(float(rng.uniform(0.4, 2.0)), 1)
+    fixed_carr = bool(rng.random() < 0.2)
+    argv = ["-e", NAV, "-s", f"{fs:.0f}", "-b", str(bits), "-d", str(dur)]
+    if mode == "static":
+        lat = float(rng.uniform(-65.0, 70.0))
+        lon = float(rng.uniform(-180.0, 180.0))
+        hgt = float(rng.integers(0, 8000))
+        if rng.random() < 0.3:  # ECEF form, negative operands likely
+            x, y, z = llh2xyz((lat, lon, hgt))
+            argv += ["-c", f"{x:.1f},{y:.1f},{z:.1f}"]
+        else:
+            argv += ["-l", f"{lat:.6f},{lon:.6f},{hgt:.1f}"]
+    elif mode == "um":
+        argv += ["-u", str(ROOT / "data" / "circle.csv")]
+    else:
+        argv += ["-g", str(ROOT / "data" / "triumphv3.txt")]
+    if rng.random() < 0.25:
+        argv += ["-i"]
+    if rng.random() < 0.3:
+        argv += ["-v"]
+    if rng.random() < 0.3:
+        hh = int(rng.integers(1, 22))
+        argv += ["-t", f"2014/12/20,{hh:02d}:{int(rng.integers(60)):02d}:00"]
+    return {"argv": argv, "bits": bits, "fixed_carr": fixed_carr}
+
+
+_PROGRESS_MARKERS = ("Time into run", "Process time", "Throughput =",
+                     "WARNING:", "warnings.warn")
+
+
+def canon_stderr(text: str) -> list:
+    """stderr -> comparable lines: drop \r-progress and per-impl extras."""
+    out = []
+    for raw in text.splitlines():
+        ln = raw.split("\r")[-1]  # keep only what survives the CR rewrites
+        if not ln.strip():
+            continue
+        if any(m in ln for m in _PROGRESS_MARKERS):
+            continue
+        out.append(ln)
+    return out
+
+
+def load_iq(path: str, bits: int) -> np.ndarray:
+    if bits == 16:
+        return np.fromfile(path, np.int16).astype(np.int32)
+    if bits == 8:
+        return np.fromfile(path, np.int8).astype(np.int32)
+    b = np.unpackbits(np.fromfile(path, np.uint8))
+    return b.astype(np.int32) * 2 - 1
+
+
+def compare_case(case, oracle, ours_bin, ours_err, tmp) -> dict:
+    ref_bin = tmp / "ref.bin"
+    t0 = time.time()
+    ref = subprocess.run([str(oracle)] + case["argv"] + ["-o", str(ref_bin)],
+                         capture_output=True, text=True, timeout=300)
+    t_ref = time.time() - t0
+    result = {"argv": case["argv"], "bits": case["bits"],
+              "carrier": "fixed" if case["fixed_carr"] else "float"}
+    if ref.returncode != 0:
+        result["skip"] = f"oracle exited {ref.returncode}"
+        return result
+
+    a = load_iq(str(ours_bin), case["bits"])
+    b = load_iq(str(ref_bin), case["bits"])
+    n = min(a.size, b.size)
+    d = np.abs(a[:n] - b[:n])
+    frac = float(np.count_nonzero(d) / max(n, 1))
+    # 1-bit streams are sign bits: a razor's-edge accumulator flips the
+    # whole sample, so only the fraction budget applies there.
+    max_delta = int(d.max(initial=0))
+    big = int(np.count_nonzero(d > 4)) if case["bits"] != 1 else 0
+    big_budget = 2 + n // 25_000_000
+    sample_ok = (a.size == b.size and frac <= 1e-4
+                 and (case["bits"] == 1 or big <= big_budget))
+
+    tbl_ref = canon_stderr(ref.stderr)
+    tbl_ours = canon_stderr(ours_err)
+    stderr_ok = tbl_ours == tbl_ref
+
+    result.update({
+        "samples": n, "mismatch_fraction": round(frac, 9),
+        "max_delta": max_delta, "big": big,
+        "size_match": a.size == b.size, "stderr_match": stderr_ok,
+        "oracle_s": round(t_ref, 2), "pass": sample_ok and stderr_ok,
+    })
+    if not stderr_ok:
+        result["stderr_diff"] = [
+            [x, y] for x, y in zip(tbl_ours, tbl_ref) if x != y][:5]
+    return result
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cases", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--impl", default="xla", choices=("xla", "pallas"))
+    ap.add_argument("--cpu", action="store_true",
+                    help="force JAX_PLATFORMS=cpu for our CLI")
+    ap.add_argument("--json", default="")
+    ns = ap.parse_args()
+
+    if shutil.which("gcc") is None or not (REF / "gpssim.c").exists():
+        print("C reference or gcc unavailable", file=sys.stderr)
+        return 2
+
+    rng = np.random.default_rng(ns.seed)
+    results = []
+    n_pass = n_fail = n_skip = 0
+    with tempfile.TemporaryDirectory() as td:
+        tmp = pathlib.Path(td)
+        oracle_float, oracle_fixed = build_oracles(tmp)
+        for k in range(ns.cases):
+            case = gen_case(rng)
+            oracle = oracle_fixed if case["fixed_carr"] else oracle_float
+            ours_bin = tmp / "ours.bin"
+            env = dict(os.environ)
+            if ns.cpu:
+                env["JAX_PLATFORMS"] = "cpu"
+            argv_ours = case["argv"] + ["-o", str(ours_bin),
+                                        "--impl", ns.impl]
+            if case["fixed_carr"]:
+                argv_ours += ["--carrier-phase", "fixed"]
+            t0 = time.time()
+            ours = subprocess.run(
+                [sys.executable, "-m", "gps_sdr_sim_tpu.cli"] + argv_ours,
+                capture_output=True, text=True, timeout=900, env=env,
+                cwd=str(ROOT))
+            t_ours = time.time() - t0
+            if ours.returncode != 0:
+                results.append({"argv": case["argv"],
+                                "fail": f"our CLI exited {ours.returncode}",
+                                "stderr": ours.stderr[-1500:], "pass": False})
+                n_fail += 1
+                print(f"case {k}: OUR CLI FAILED", file=sys.stderr)
+                continue
+            r = compare_case(case, oracle, ours_bin, ours.stderr, tmp)
+            r["ours_s"] = round(t_ours, 2)
+            results.append(r)
+            if "skip" in r:
+                n_skip += 1
+            elif r["pass"]:
+                n_pass += 1
+            else:
+                n_fail += 1
+            print(f"case {k}: {json.dumps(r)}", file=sys.stderr)
+
+    summary = {
+        "metric": "oracle_fuzz", "cases": ns.cases, "seed": ns.seed,
+        "impl": ns.impl, "passed": n_pass, "failed": n_fail,
+        "skipped": n_skip, "pass": n_fail == 0, "detail": results,
+    }
+    if ns.json:
+        pathlib.Path(ns.json).write_text(json.dumps(summary, indent=1))
+    print(json.dumps({k: v for k, v in summary.items() if k != "detail"}))
+    return 0 if n_fail == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
