@@ -33,7 +33,16 @@ def main(argv=None) -> int:
     ap.add_argument("--dopp-step", type=float, default=50.0)
     ap.add_argument("--weighted", action="store_true",
                     help="C/N0-weighted least squares for the PVT fix")
+    ap.add_argument("--rinex-obs", default="", metavar="FILE",
+                    help="write RINEX 2.11 observations (C1 L1 D1 S1, the "
+                         "software RTKCONV of the reference's rtk/ flow)")
+    ap.add_argument("--rinex-nav", default="", metavar="FILE",
+                    help="write decoded ephemerides as RINEX 2.11 GPS nav")
+    ap.add_argument("--obs-interval", type=float, default=1.0,
+                    help="RINEX observation epoch interval (s)")
     ns = ap.parse_args(argv)
+    if (ns.rinex_obs or ns.rinex_nav) and ns.track <= 0:
+        ap.error("--rinex-obs/--rinex-nav require --track SECONDS")
     if ns.pvt and ns.track <= 0:
         ap.error("--pvt requires --track SECONDS (>=19 s of signal to "
                  "decode subframes 1-3)")
@@ -74,6 +83,7 @@ def main(argv=None) -> int:
             print(f"{prn:3d}  {res.doppler[-1, c]:+10.1f}  {cn0:10.1f}"
                   f"  {len(sbfs):9d}  {tows:12s}  {weeks}")
 
+        sol = None
         if ns.pvt:
             from gps_sdr_sim_tpu.constants import R2D
             from gps_sdr_sim_tpu.receiver.pvt import observables, solve
@@ -90,6 +100,23 @@ def main(argv=None) -> int:
             print(f"  clock bias {sol.clock_bias * 1e3:.3f} ms, "
                   f"max residual "
                   f"{float(np.max(np.abs(sol.residuals))):.2f} m")
+
+        if ns.rinex_obs:
+            from gps_sdr_sim_tpu.receiver.rinex import write_obs
+
+            with open(ns.rinex_obs, "w") as fp:
+                n_ep = write_obs(fp, res, frames=frames,
+                                 interval=ns.obs_interval,
+                                 approx_xyz=sol.xyz if sol else None)
+            print(f"wrote {n_ep} obs epochs -> {ns.rinex_obs}",
+                  file=sys.stderr)
+        if ns.rinex_nav:
+            from gps_sdr_sim_tpu.receiver.rinex import write_nav
+
+            with open(ns.rinex_nav, "w") as fp:
+                n_eph = write_nav(fp, res, frames=frames)
+            print(f"wrote {n_eph} ephemerides -> {ns.rinex_nav}",
+                  file=sys.stderr)
     return 0
 
 

@@ -131,9 +131,9 @@ def test_frontend_roundtrip_formats():
 
 
 @pytest.fixture(scope="module")
-def pvt_solution():
-    # 26 s (iono ON) covers subframes 1-4, so the fix exercises ephemeris
-    # decode AND the Klobuchar correction recovered from subframe 4 page 18.
+def tracked26():
+    # 26 s (iono ON) covers subframes 1-4: enough for ephemeris decode,
+    # the Klobuchar parameters (subframe 4 page 18), and RINEX output.
     cfg = ScenarioConfig(nav_file="data/brdc3540.14n", static_xyz=TOKYO,
                          duration=26.0, samp_freq=FS, data_format=16)
     scn = build_scenario(cfg)
@@ -141,11 +141,14 @@ def pvt_solution():
     run_simulation(scn, buf, batch_epochs=16, impl="xla", log=lambda s: None)
     x = load_iq(buf.getvalue(), 16)
     acq = acquire(x, FS, dopp_step=50.0)
-    res = track(x, FS, acq)
+    return track(x, FS, acq)
 
+
+@pytest.fixture(scope="module")
+def pvt_solution(tracked26):
     from gps_sdr_sim_tpu.receiver.pvt import observables, solve
 
-    obs, ionoutc = observables(res)
+    obs, ionoutc = observables(tracked26)
     return obs, ionoutc, solve(obs, ionoutc)
 
 
@@ -320,3 +323,128 @@ def test_pvt_on_85s_capture_across_ephemeris_set_advance():
     assert sol.n_sats >= 4
     assert err < 10.0, f"position error {err:.2f} m with {sol.n_sats} sats"
     assert np.max(np.abs(sol.residuals)) < 5.0
+
+
+# ---- RINEX writers (the software RTKCONV of the reference's rtk/ flow) ----
+
+
+def _parse_rinex_obs(text: str):
+    """Minimal RINEX 2.11 obs parser for the tests."""
+    lines = text.splitlines()
+    i = next(k for k, ln in enumerate(lines)
+             if ln[60:].startswith("END OF HEADER")) + 1
+    epochs = []
+    while i < len(lines):
+        hdr = lines[i]
+        nsat = int(hdr[29:32])
+        sats = [int(hdr[32 + 3 * j + 1:32 + 3 * j + 3])
+                for j in range(min(nsat, 12))]
+        i += 1
+        for chunk in range(12, nsat, 12):
+            cont = lines[i]
+            sats += [int(cont[32 + 3 * j + 1:32 + 3 * j + 3])
+                     for j in range(min(nsat - chunk, 12))]
+            i += 1
+        sec = (int(hdr[10:12]) * 3600 + int(hdr[13:15]) * 60
+               + float(hdr[15:26]))
+        obs = {}
+        for prn in sats:
+            ln = lines[i]
+            obs[prn] = [float(ln[16 * j:16 * j + 14]) for j in range(4)]
+            i += 1
+        epochs.append((sec, obs))
+    return epochs
+
+
+@pytest.fixture(scope="module")
+def rinex_files(tracked26):
+    import io as _io
+
+    from gps_sdr_sim_tpu.receiver.rinex import write_nav, write_obs
+
+    fobs, fnav = _io.StringIO(), _io.StringIO()
+    n_ep = write_obs(fobs, tracked26, interval=1.0)
+    n_eph = write_nav(fnav, tracked26)
+    assert n_ep >= 20 and n_eph >= 4
+    return fobs.getvalue(), fnav.getvalue()
+
+
+def test_rinex_obs_observables_are_self_consistent(scenario, rinex_files):
+    """dL1/dt = -D1 (RTKCONV sign convention, verified against the
+    reference's rtk/base.obs) and dC1/dt = -lambda*D1."""
+    text, _ = rinex_files
+    epochs = _parse_rinex_obs(text)
+    assert len(epochs) >= 4
+    lam = 299792458.0 / 1575.42e6
+    seg = scenario.segments[0]
+    visible = set(int(p) for p in seg.prn[seg.active])
+    assert set(epochs[0][1].keys()) == visible
+    for k in range(len(epochs) - 1):
+        t0, o0 = epochs[k]
+        t1, o1 = epochs[k + 1]
+        dt = t1 - t0
+        for prn in o0:
+            c10, l10, d10, s10 = o0[prn]
+            c11, l11, d11, _ = o1[prn]
+            d_mid = 0.5 * (d10 + d11)
+            assert abs((l11 - l10) / dt + d_mid) < 4.0, prn
+            # code observables carry DLL jitter (~0.01 chip = 3 m per
+            # epoch), so the differenced C1 rate is much noisier than L1
+            assert abs((c11 - c10) / dt + lam * d_mid) < 15.0, prn
+            assert 25.0 < s10 < 60.0, (prn, s10)  # low-elev ~32
+
+
+def test_rinex_nav_roundtrips_through_our_parser(tmp_path, tracked26,
+                                                 rinex_files):
+    """The nav writer's records parse back field-exact (to the D19.12
+    print precision) through models/ephemeris.py."""
+    from gps_sdr_sim_tpu.models.ephemeris import IonoUtc, read_rinex_nav_all
+    from gps_sdr_sim_tpu.receiver.ephdec import decode_sets
+    from gps_sdr_sim_tpu.receiver.pvt import channel_frames
+
+    _, nav_text = rinex_files
+    p = tmp_path / "rx.nav"
+    p.write_text(nav_text)
+    eph, neph = read_rinex_nav_all(str(p), IonoUtc())
+    assert neph >= 1
+
+    frames = channel_frames(tracked26)
+    n_checked = 0
+    for c, prn in enumerate(tracked26.prns):
+        _off, _bits, sbfs = frames[c]
+        for es in decode_sets(sbfs):
+            got = eph[0][int(prn) - 1]
+            assert got.vflg == 1, prn
+            for f in ("af0", "af1", "af2", "crs", "deltan", "m0", "cuc",
+                      "ecc", "cus", "sqrta", "cic", "omg0", "cis", "inc0",
+                      "crc", "aop", "omgdot", "idot", "tgd"):
+                a, b = getattr(es.eph, f), getattr(got, f)
+                assert np.isclose(a, b, rtol=1e-10, atol=1e-22), (prn, f)
+            assert got.toe.sec == es.eph.toe.sec
+            n_checked += 1
+    assert n_checked >= 4
+
+
+def test_rinex_pair_solves_position(tmp_path, rinex_files):
+    """Full RTK-style closure from the two FILES alone: parse obs + nav
+    with independent code paths and least-squares a position — the
+    software analogue of feeding RTKCONV output to RTKLIB (rtk/)."""
+    from gps_sdr_sim_tpu.models.ephemeris import IonoUtc, read_rinex_nav_all
+    from gps_sdr_sim_tpu.receiver.pvt import ChannelObs, solve
+
+    obs_text, nav_text = rinex_files
+    p = tmp_path / "rx.nav"
+    p.write_text(nav_text)
+    eph, _ = read_rinex_nav_all(str(p), IonoUtc())
+    epochs = _parse_rinex_obs(obs_text)
+    C = 299792458.0
+    # GPS day-of-week offset: the obs epoch seconds-of-day map onto the
+    # 2014/12/20 seconds-of-week (Saturday = day 6).
+    day_sec = 6 * 86400
+    for sec, o in (epochs[0], epochs[-1]):
+        chans = [ChannelObs(prn=prn, tx_time=day_sec + sec - c1 / C,
+                            eph=eph[0][prn - 1])
+                 for prn, (c1, _l1, _d1, _s1) in o.items()]
+        sol = solve(chans)
+        err = np.linalg.norm(sol.xyz - TOKYO)
+        assert err < 60.0, f"position error {err:.1f} m at t={sec}"
