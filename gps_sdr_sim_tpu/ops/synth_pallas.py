@@ -294,6 +294,52 @@ def _unpack_wire(wire):
         navbits=wire[..., 10], gain=wire[..., 11])
 
 
+def _wire_to_params(wire, sub_blocks: int):
+    """Wire [B, C, 12] -> kernel params [rows_pad, C*32] (on device).
+
+    Performs the exact per-sub-block rebase and the lane packing; shared
+    by the single-device fast path and the shard_map'd pod path."""
+    SB = sub_blocks
+    u = _unpack_wire(wire)
+    t0, code_f8, code_s8 = u["t0"], u["code_f8"], u["code_s8"]
+    carr_f8, carr_s8 = u["carr_f8"], u["carr_s8"]
+    m0, b0, navbits, gain = u["m0"], u["b0"], u["navbits"], u["gain"]
+    B, C = t0.shape
+    k0 = jnp.arange(SB, dtype=jnp.int32) * SUBBLOCK
+
+    (cp0, cp1, cp2), ccarry = _device_rebase(code_f8, code_s8, k0)
+    (qp0, qp1, qp2), _ = _device_rebase(carr_f8, carr_s8, k0)
+    t_base = t0[:, None, :] + ccarry
+
+    # Per-sample kernel steps: bits [16, 64) of the 2^56-scaled step
+    # (the top limb may exceed 8 bits when the step is > 1 chip/sample;
+    # the kernel's v2 chain has the headroom for it).
+    def step16(s8):
+        l0 = s8[..., 2] | (s8[..., 3] << 8)
+        l1 = s8[..., 4] | (s8[..., 5] << 8)
+        l2 = s8[..., 6] | (s8[..., 7] << 8)
+        return l0, l1, l2
+
+    cs0, cs1, cs2 = step16(code_s8)
+    gs0, gs1, gs2 = step16(carr_s8)
+
+    def bc(a):  # [B, C] -> [B, SB, C]
+        return jnp.broadcast_to(a[:, None, :], (B, SB, C))
+
+    lanes = [cp0, cp1, cp2, qp0, qp1, qp2, t_base,
+             bc(cs0), bc(cs1), bc(cs2), bc(gs0), bc(gs1), bc(gs2),
+             bc(m0), bc(b0), bc(navbits), bc(gain)]
+    params = jnp.stack(
+        lanes + [jnp.zeros_like(t_base)] * (PARAM_LANES - len(lanes)),
+        axis=-1)  # [B, SB, C, 32]
+    rows = B * SB
+    rows_pad = -(-rows // _TILE_ROWS) * _TILE_ROWS
+    params = params.reshape(rows, C * PARAM_LANES)
+    if rows_pad != rows:
+        params = jnp.pad(params, ((0, rows_pad - rows), (0, 0)))
+    return params, rows
+
+
 @lru_cache(maxsize=None)
 def _get_epoch_fn(n_chan: int, sub_blocks: int, n_out: int):
     pallas_fn_inner = _get_pallas_fn(n_chan)
@@ -301,44 +347,8 @@ def _get_epoch_fn(n_chan: int, sub_blocks: int, n_out: int):
 
     @jax.jit
     def run(wire, ca_words):
-        u = _unpack_wire(wire)
-        t0, code_f8, code_s8 = u["t0"], u["code_f8"], u["code_s8"]
-        carr_f8, carr_s8 = u["carr_f8"], u["carr_s8"]
-        m0, b0, navbits, gain = u["m0"], u["b0"], u["navbits"], u["gain"]
-        B, C = t0.shape
-        k0 = jnp.arange(SB, dtype=jnp.int32) * SUBBLOCK
-
-        (cp0, cp1, cp2), ccarry = _device_rebase(code_f8, code_s8, k0)
-        (qp0, qp1, qp2), _ = _device_rebase(carr_f8, carr_s8, k0)
-        t_base = t0[:, None, :] + ccarry
-
-        # Per-sample kernel steps: bits [16, 64) of the 2^56-scaled step
-        # (the top limb may exceed 8 bits when the step is > 1 chip/sample;
-        # the kernel's v2 chain has the headroom for it).
-        def step16(s8):
-            l0 = s8[..., 2] | (s8[..., 3] << 8)
-            l1 = s8[..., 4] | (s8[..., 5] << 8)
-            l2 = s8[..., 6] | (s8[..., 7] << 8)
-            return l0, l1, l2
-
-        cs0, cs1, cs2 = step16(code_s8)
-        gs0, gs1, gs2 = step16(carr_s8)
-
-        def bc(a):  # [B, C] -> [B, SB, C]
-            return jnp.broadcast_to(a[:, None, :], (B, SB, C))
-
-        lanes = [cp0, cp1, cp2, qp0, qp1, qp2, t_base,
-                 bc(cs0), bc(cs1), bc(cs2), bc(gs0), bc(gs1), bc(gs2),
-                 bc(m0), bc(b0), bc(navbits), bc(gain)]
-        params = jnp.stack(
-            lanes + [jnp.zeros_like(t_base)] * (PARAM_LANES - len(lanes)),
-            axis=-1)  # [B, SB, C, 32]
-        rows = B * SB
-        rows_pad = -(-rows // _TILE_ROWS) * _TILE_ROWS
-        params = params.reshape(rows, C * PARAM_LANES)
-        if rows_pad != rows:
-            params = jnp.pad(params, ((0, rows_pad - rows), (0, 0)))
-
+        B = wire.shape[0]
+        params, rows = _wire_to_params(wire, SB)
         i16, q16 = pallas_fn_inner(params, ca_words)
         iq = jnp.stack([i16[:rows].reshape(B, SB * SUBBLOCK),
                         q16[:rows].reshape(B, SB * SUBBLOCK)], axis=-1)

@@ -11,6 +11,7 @@ multi-host output and restart/resume.
 from gps_sdr_sim_tpu.parallel.mesh import auto_mesh, make_mesh
 from gps_sdr_sim_tpu.parallel.shard import (
     synth_batch_sharded,
+    synth_epochs_sharded,
     synth_pallas_sharded,
 )
 from gps_sdr_sim_tpu.parallel.writer import (
@@ -24,6 +25,7 @@ __all__ = [
     "auto_mesh",
     "make_mesh",
     "synth_batch_sharded",
+    "synth_epochs_sharded",
     "synth_pallas_sharded",
     "Manifest",
     "concat_shards",

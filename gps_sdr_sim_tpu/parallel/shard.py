@@ -146,6 +146,67 @@ def _get_sharded_pallas_fn(mesh: Mesh, local_chan: int):
     return jax.jit(fn)
 
 
+@lru_cache(maxsize=None)
+def _get_wire_sharded_fn(mesh: Mesh, sub_blocks: int, n_out: int,
+                         local_chan: int):
+    from gps_sdr_sim_tpu.constants import SUBBLOCK
+    from gps_sdr_sim_tpu.ops import synth_pallas
+
+    chan_n = mesh.shape[CHAN_AXIS]
+    inner = synth_pallas._get_pallas_fn(local_chan, quantize=(chan_n == 1))
+    SB = sub_blocks
+
+    def local(wire, ca):
+        B = wire.shape[0]
+        params, rows = synth_pallas._wire_to_params(wire, SB)
+        ia, qa = inner(params, ca)
+        if chan_n > 1:
+            # Raw int32 partial accumulators cross ICI BEFORE the
+            # (acc+64)>>7 quantization (reference sums all channels first,
+            # gpssim.c:2192-2259).
+            ia = ((jax.lax.psum(ia, CHAN_AXIS) + 64) >> 7).astype(jnp.int16)
+            qa = ((jax.lax.psum(qa, CHAN_AXIS) + 64) >> 7).astype(jnp.int16)
+        iq = jnp.stack([ia[:rows].reshape(B, SB * SUBBLOCK),
+                        qa[:rows].reshape(B, SB * SUBBLOCK)], axis=-1)
+        return iq[:, :n_out]
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(TIME_AXIS, CHAN_AXIS, None), P(CHAN_AXIS, None)),
+        out_specs=P(TIME_AXIS, None, None),
+        # pallas_call's out_shape can't carry varying-mesh-axes info.
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def synth_epochs_sharded(eb, n_out: int, mesh: Mesh) -> jax.Array:
+    """EpochBatch -> [B, n_out, 2] int16, sharded over the mesh.
+
+    The production pod path: the batch crosses hosts/devices as the
+    compact [B, C, 12] wire (plan.pack_epoch_wire, ~170x smaller than
+    pre-packed kernel params), each device performs its own exact rebase
+    and parameter packing (synth_pallas._wire_to_params), and 'chan'
+    shards psum raw accumulators before quantization. Epoch and channel
+    padding synthesize silence (zero gain) and are stripped/ignored.
+    """
+    from gps_sdr_sim_tpu.constants import SUBBLOCK
+    from gps_sdr_sim_tpu.ops.plan import pack_epoch_wire
+
+    n_time = mesh.shape[TIME_AXIS]
+    n_chan_dev = mesh.shape[CHAN_AXIS]
+    wire = pack_epoch_wire(eb)
+    B, C, _ = wire.shape
+    b_pad = -(-B // n_time) * n_time - B
+    c_pad = -(-max(C, 1) // n_chan_dev) * n_chan_dev - C
+    wire = np.pad(wire, ((0, b_pad), (0, c_pad), (0, 0)))
+    ca = np.pad(eb.ca_words, ((0, c_pad), (0, 0)))
+    sub_blocks = -(-n_out // SUBBLOCK)
+    fn = _get_wire_sharded_fn(mesh, sub_blocks, n_out,
+                              (C + c_pad) // n_chan_dev)
+    out = fn(jnp.asarray(wire), jnp.asarray(ca))
+    return out[:B]
+
+
 def synth_pallas_sharded(db: DeviceBatch, n_out: int, mesh: Mesh) -> jax.Array:
     """Fused-kernel synthesis sharded over the ('time', 'chan') mesh.
 

@@ -131,14 +131,20 @@ def run_epoch_range(scn: Scenario, fp: BinaryIO, lo: int, hi: int,
         b = e1 - e
         t_plan = time.time()
         if mesh is not None:
-            from gps_sdr_sim_tpu.parallel import (synth_batch_sharded,
-                                                  synth_pallas_sharded)
+            if impl == "pallas":
+                # Pod path: compact wire upload + per-device rebase
+                # (parallel.synth_epochs_sharded).
+                from gps_sdr_sim_tpu.parallel import synth_epochs_sharded
 
-            db = _pad_batch(plan_batch(seg, e, e1, n, scn.delt),
-                            batch_epochs)
-            synth = (synth_pallas_sharded if impl == "pallas"
-                     else synth_batch_sharded)
-            iq = synth(db, n, mesh)
+                eb = pad_epochs(plan_epochs(seg, e, e1, scn.delt),
+                                batch_epochs)
+                iq = synth_epochs_sharded(eb, n, mesh)
+            else:
+                from gps_sdr_sim_tpu.parallel import synth_batch_sharded
+
+                db = _pad_batch(plan_batch(seg, e, e1, n, scn.delt),
+                                batch_epochs)
+                iq = synth_batch_sharded(db, n, mesh)
         elif impl == "pallas":
             # One-batch-lookahead staging: the upload of batch k+1 is
             # dispatched right after the kernel for batch k, so the

@@ -149,6 +149,26 @@ def test_pallas_sharded_matches_unsharded(scenario, batch, n_time, n_chan):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("n_time,n_chan",
+                         [(2, 1), (8, 1), (1, 8), (4, 2), (2, 4)])
+def test_wire_sharded_matches_unsharded(scenario, n_time, n_chan):
+    """The compact-wire pod path (per-device rebase + fused kernel +
+    pre-quantization chan psum) == single-device synth_epochs, bit-exact,
+    for every (time, chan) factorization — including channel counts that
+    need zero-gain channel padding to divide the 'chan' axis."""
+    from gps_sdr_sim_tpu.ops import synth_pallas
+    from gps_sdr_sim_tpu.ops.plan import pad_epochs, plan_epochs
+    from gps_sdr_sim_tpu.parallel import synth_epochs_sharded
+
+    seg = scenario.segments[0]
+    n = scenario.iq_buff_size
+    eb = pad_epochs(plan_epochs(seg, 0, seg.n_epochs, scenario.delt), 8)
+    want = np.asarray(synth_pallas.synth_epochs(eb, n))
+    mesh = auto_mesh(n_time * n_chan, n_chan)
+    got = np.asarray(synth_epochs_sharded(eb, n, mesh))
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("impl", ["xla-sharded", "pallas-sharded"])
 def test_runner_sharded_impls_match_single(scenario, impl):
     """run_simulation over the full local (virtual) mesh == single device."""
