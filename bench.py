@@ -120,16 +120,14 @@ def main() -> int:
     def one_pass(fmt):
         t0 = time.time()
         sums = []
-        staged = None  # pallas: one-batch-lookahead upload (see runner)
-        for idx, (seg, e0, e1) in enumerate(batches):
+        # pallas: one-batch-lookahead upload staging (synth_pallas.iter_staged)
+        stream = (synth_pallas.iter_staged(batches, lambda t: _stage(*t))
+                  if ns.impl == "pallas" else None)
+        for seg, e0, e1 in batches:
             # All pack formats keep the epoch axis ([B, N, 2] or [B, N//4]).
-            if ns.impl == "pallas":
-                if staged is None:
-                    staged = _stage(seg, e0, e1)
+            if stream is not None:
+                staged, _item = next(stream)
                 iq = pack(synth_pallas.synth_staged(staged, n), fmt)
-                staged = None
-                if idx + 1 < len(batches):
-                    staged = _stage(*batches[idx + 1])
             else:
                 db = _pad_batch(plan_batch(seg, e0, e1, n, scn.delt), B)
                 iq = pack(synth_jnp.synth_batch(db, n), fmt)

@@ -398,3 +398,23 @@ def synth_staged(staged, n_out: int) -> jax.Array:
 def synth_epochs(eb, n_out: int) -> jax.Array:
     """EpochBatch -> [B, n_out, 2] int16; rebase and synthesis on device."""
     return synth_staged(stage_epochs(eb), n_out)
+
+
+def iter_staged(items, make_staged):
+    """Yield (staged_upload, item) with one-batch lookahead.
+
+    The upload for item k+1 is dispatched when the consumer comes back
+    for it — i.e. right AFTER it dispatched the kernel for item k — so
+    the transfer streams during device compute. One copy of the
+    pipelining contract, shared by runner.run_epoch_range and bench.py.
+    """
+    it = iter(items)
+    try:
+        cur = next(it)
+    except StopIteration:
+        return
+    staged = make_staged(cur)
+    for nxt in it:
+        yield staged, cur
+        staged, cur = make_staged(nxt), nxt
+    yield staged, cur

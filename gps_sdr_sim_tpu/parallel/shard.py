@@ -194,16 +194,20 @@ def synth_epochs_sharded(eb, n_out: int, mesh: Mesh) -> jax.Array:
 
     n_time = mesh.shape[TIME_AXIS]
     n_chan_dev = mesh.shape[CHAN_AXIS]
+    from gps_sdr_sim_tpu.ops.synth_pallas import _ca_device
+
     wire = pack_epoch_wire(eb)
     B, C, _ = wire.shape
     b_pad = -(-B // n_time) * n_time - B
     c_pad = -(-max(C, 1) // n_chan_dev) * n_chan_dev - C
     wire = np.pad(wire, ((0, b_pad), (0, c_pad), (0, 0)))
-    ca = np.pad(eb.ca_words, ((0, c_pad), (0, 0)))
+    # Content-keyed device cache: the padded table is identical for every
+    # batch of a segment (uploads cost ~2 ms each behind the tunnel).
+    ca = _ca_device(np.pad(eb.ca_words, ((0, c_pad), (0, 0))))
     sub_blocks = -(-n_out // SUBBLOCK)
     fn = _get_wire_sharded_fn(mesh, sub_blocks, n_out,
                               (C + c_pad) // n_chan_dev)
-    out = fn(jnp.asarray(wire), jnp.asarray(ca))
+    out = fn(jnp.asarray(wire), ca)
     return out[:B]
 
 

@@ -40,6 +40,11 @@ def main(argv=None) -> int:
                     help="write decoded ephemerides as RINEX 2.11 GPS nav")
     ap.add_argument("--obs-interval", type=float, default=1.0,
                     help="RINEX observation epoch interval (s)")
+    ap.add_argument("--gps-era", type=int, default=1,
+                    help="GPS 1024-week rollover count for RINEX dating "
+                         "(the signal carries only week mod 1024): 1 = "
+                         "1999-08..2019-04 (the bundled 2014 data), 2 = "
+                         "2019-04..2038-11")
     ns = ap.parse_args(argv)
     if (ns.rinex_obs or ns.rinex_nav) and ns.track <= 0:
         ap.error("--rinex-obs/--rinex-nav require --track SECONDS")
@@ -106,7 +111,7 @@ def main(argv=None) -> int:
 
             with open(ns.rinex_obs, "w") as fp:
                 n_ep = write_obs(fp, res, frames=frames,
-                                 interval=ns.obs_interval,
+                                 interval=ns.obs_interval, era=ns.gps_era,
                                  approx_xyz=sol.xyz if sol else None)
             print(f"wrote {n_ep} obs epochs -> {ns.rinex_obs}",
                   file=sys.stderr)
@@ -114,7 +119,7 @@ def main(argv=None) -> int:
             from gps_sdr_sim_tpu.receiver.rinex import write_nav
 
             with open(ns.rinex_nav, "w") as fp:
-                n_eph = write_nav(fp, res, frames=frames)
+                n_eph = write_nav(fp, res, frames=frames, era=ns.gps_era)
             print(f"wrote {n_eph} ephemerides -> {ns.rinex_nav}",
                   file=sys.stderr)
     return 0

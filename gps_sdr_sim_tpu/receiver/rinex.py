@@ -84,7 +84,7 @@ def obs_epochs(res: TrackResult, frames=None, interval: float = 1.0):
     s0 = float(np.ceil(t_raw0 * (1.0 / interval)) * interval)
     step = int(round(interval * 1000.0))
     m0 = int(round((s0 - t_raw0) * 1000.0))
-    ms = np.arange(m0, n_ms - 1, step)
+    ms = np.arange(m0, n_ms, step)
     if ms.size == 0:
         raise ValueError("capture shorter than one observation interval")
     t_obs = s0 + (ms - m0) * 1e-3

@@ -125,7 +125,17 @@ def run_epoch_range(scn: Scenario, fp: BinaryIO, lo: int, hi: int,
         stats.write_seconds += time.time() - t1
 
     items = list(iter_seg_batches(scn, lo, hi, batch_epochs))
-    staged = None  # pallas path: pre-uploaded NEXT batch (see below)
+    # Single-chip pallas path: one-batch-lookahead upload staging (the
+    # upload of batch k+1 streams while the device computes batch k; see
+    # synth_pallas.iter_staged for the ordering contract).
+    staged_stream = None
+    if impl == "pallas" and mesh is None:
+        def _stage(item):
+            seg, e, e1 = item
+            return synth_pallas.stage_epochs(pad_epochs(
+                plan_epochs(seg, e, e1, scn.delt), batch_epochs))
+
+        staged_stream = synth_pallas.iter_staged(items, _stage)
 
     for idx, (seg, e, e1) in enumerate(items):
         b = e1 - e
@@ -146,20 +156,8 @@ def run_epoch_range(scn: Scenario, fp: BinaryIO, lo: int, hi: int,
                                 batch_epochs)
                 iq = synth_batch_sharded(db, n, mesh)
         elif impl == "pallas":
-            # One-batch-lookahead staging: the upload of batch k+1 is
-            # dispatched right after the kernel for batch k, so the
-            # transfer streams while the device computes (the tunneled
-            # device otherwise serializes ~ms-latency uploads with
-            # compute; measured ~1.5x end-to-end).
-            if staged is None:  # first batch only
-                staged = synth_pallas.stage_epochs(pad_epochs(
-                    plan_epochs(seg, e, e1, scn.delt), batch_epochs))
+            staged, _item = next(staged_stream)
             iq = synth_pallas.synth_staged(staged, n)  # async dispatch
-            staged = None
-            if idx + 1 < len(items):
-                seg2, f, f1 = items[idx + 1]
-                staged = synth_pallas.stage_epochs(pad_epochs(
-                    plan_epochs(seg2, f, f1, scn.delt), batch_epochs))
         else:
             db = _pad_batch(plan_batch(seg, e, e1, n, scn.delt),
                             batch_epochs)

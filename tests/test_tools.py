@@ -237,6 +237,23 @@ def test_bytering_push_pull_inversion():
     ring.free()
 
 
+def test_bytering_zero_capacity_does_not_deadlock():
+    import threading
+
+    from gps_sdr_sim_tpu.utils import playerfmt
+
+    ring = playerfmt.ByteRing(0)  # clamped to 1 byte internally
+    got = []
+    t = threading.Thread(target=lambda: got.append(ring.drain(4)))
+    t.start()
+    ring.push(np.arange(4, dtype=np.int8))
+    t.join(timeout=5)
+    assert not t.is_alive()
+    np.testing.assert_array_equal(got[0], np.arange(4, dtype=np.int8))
+    ring.close()
+    ring.free()
+
+
 def test_bytering_wait_drained_timeout():
     from gps_sdr_sim_tpu.utils import playerfmt
 

@@ -18,7 +18,10 @@
 
 class ByteRing {
  public:
-  explicit ByteRing(size_t capacity) : buf_(capacity) {}
+  // A zero capacity would deadlock both sides (push waits for a drain
+  // that can never make room); clamp to one byte so the ring stays
+  // functional for any caller-computed capacity.
+  explicit ByteRing(size_t capacity) : buf_(capacity ? capacity : 1) {}
 
   // Blocks while the ring is full; after close(), drops silently.
   void push(const int8_t* data, size_t n);
