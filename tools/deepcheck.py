@@ -99,12 +99,16 @@ def main() -> int:
     ap.add_argument("--block-epochs", type=int, default=20)
     ap.add_argument("--filler-blocks", type=int, default=6)
     ap.add_argument("--impl", default="xla")
+    ap.add_argument("--backend", default="cpu", choices=("cpu", "default"),
+                    help="'cpu' pins JAX to the host; 'default' uses the "
+                         "session's default device (the TPU when present)")
     ap.add_argument("--json", default="")
     ns = ap.parse_args()
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if ns.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     sys.path.insert(0, str(ROOT))
     from gps_sdr_sim_tpu.constants import R2D
     from gps_sdr_sim_tpu.models.scenario import ScenarioConfig, build_scenario
