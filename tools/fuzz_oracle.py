@@ -66,7 +66,7 @@ def llh2xyz(llh_deg):
 
 
 def gen_case(rng: np.random.Generator) -> dict:
-    mode = rng.choice(["static", "static", "static", "um", "gga"])
+    mode = rng.choice(["static", "static", "static", "um", "gga", "rkt"])
     bits = int(rng.choice([1, 8, 16]))
     fs_pool = [1.0e6, 1.5e6, 2.048e6, 2.6e6, 3.2e6,
                float(rng.integers(1_000_000, 3_500_000))]
@@ -85,9 +85,14 @@ def gen_case(rng: np.random.Generator) -> dict:
             argv += ["-l", f"{lat:.6f},{lon:.6f},{hgt:.1f}"]
     elif mode == "um":
         argv += ["-u", str(ROOT / "data" / "circle.csv")]
+    elif mode == "rkt":
+        # Spacecraft dynamics (reference README.md: disable the iono model
+        # above the atmosphere; FLOAT_CARR_PHASE notes "For RKT simulation")
+        traj = rng.choice(["rocket.csv", "satellite.csv"])
+        argv += ["-u", str(ROOT / "data" / traj), "-i"]
     else:
         argv += ["-g", str(ROOT / "data" / "triumphv3.txt")]
-    if rng.random() < 0.25:
+    if "-i" not in argv and rng.random() < 0.25:
         argv += ["-i"]
     if rng.random() < 0.3:
         argv += ["-v"]
