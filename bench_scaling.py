@@ -32,8 +32,11 @@ def main() -> int:
     ap.add_argument("--chan-axis", type=int, default=1,
                     help="devices on the channel axis (rest go to time)")
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--impl", default="xla", choices=("xla", "pallas"),
-                    help="pallas = fused-kernel rows over a time-only mesh")
+    ap.add_argument("--impl", default="xla",
+                    choices=("xla", "pallas", "pallas-wire"),
+                    help="pallas = fused kernel over pre-packed params; "
+                         "pallas-wire = the production pod path (compact "
+                         "wire upload + per-device rebase)")
     ns = ap.parse_args()
 
     import os
@@ -53,8 +56,9 @@ def main() -> int:
 
     from gps_sdr_sim_tpu.constants import R2D
     from gps_sdr_sim_tpu.models.scenario import ScenarioConfig, build_scenario
-    from gps_sdr_sim_tpu.ops.plan import plan_batch
+    from gps_sdr_sim_tpu.ops.plan import plan_batch, plan_epochs
     from gps_sdr_sim_tpu.parallel import (auto_mesh, synth_batch_sharded,
+                                          synth_epochs_sharded,
                                           synth_pallas_sharded)
     from gps_sdr_sim_tpu.utils.coord import llh2xyz
 
@@ -77,9 +81,14 @@ def main() -> int:
         # to the true single-device rate even for chan-axis sweeps.
         mesh = auto_mesh(n, ns.chan_axis if n > 1 else 1)
         b = min(ns.epochs_per_device * n, seg.n_epochs)
-        db = plan_batch(seg, 0, b, scn.iq_buff_size, scn.delt)
-        synth = (synth_pallas_sharded if ns.impl == "pallas"
-                 else synth_batch_sharded)
+        if ns.impl == "pallas-wire":
+            eb = plan_epochs(seg, 0, b, scn.delt)
+            synth = lambda _db, n_out, m: synth_epochs_sharded(eb, n_out, m)
+            db = None
+        else:
+            db = plan_batch(seg, 0, b, scn.iq_buff_size, scn.delt)
+            synth = (synth_pallas_sharded if ns.impl == "pallas"
+                     else synth_batch_sharded)
 
         out = synth(db, scn.iq_buff_size, mesh)
         out.block_until_ready()  # compile warmup
