@@ -103,6 +103,32 @@ def _merge_values(argv):
     return out
 
 
+# Per-occurrence validation, matching the reference's getopt loop: each
+# -s/-b/-t/-T occurrence is validated AT ITS ARGV POSITION
+# (gpssim.c:1788-1833), so `-s 999 -s 2600000` errors on the first -s and
+# `-t garbage -d 90000` reports the date error, not the duration error
+# (duration is only checked after the loop, gpssim.c:1869-1874).
+class _SampFreqAction(argparse.Action):
+    def __call__(self, parser, ns, value, option_string=None):
+        if value < 1.0e6:
+            _err("Invalid sampling frequency.")
+        setattr(ns, self.dest, value)
+
+
+class _BitsAction(argparse.Action):
+    def __call__(self, parser, ns, value, option_string=None):
+        if value not in (1, 8, 16):
+            _err("Invalid I/Q data format.")
+        setattr(ns, self.dest, value)
+
+
+class _DateTimeAction(argparse.Action):
+    def __call__(self, parser, ns, value, option_string=None):
+        if not (option_string == "-T" and value.startswith("now")):
+            _parse_datetime(value)  # errors like the reference's 't' case
+        setattr(ns, self.dest, value)
+
+
 def parse_args(argv) -> tuple:
     argv = _merge_values(list(argv))
     ap = argparse.ArgumentParser(add_help=False)
@@ -111,15 +137,18 @@ def parse_args(argv) -> tuple:
     ap.add_argument("-g", dest="ggafile", default="")
     ap.add_argument("-c", dest="xyz", default="")
     ap.add_argument("-l", dest="llh", default="")
-    ap.add_argument("-t", dest="t0", default="")
-    ap.add_argument("-T", dest="t0_overwrite", default="")
+    ap.add_argument("-t", dest="t0", default="", action=_DateTimeAction)
+    ap.add_argument("-T", dest="t0_overwrite", default="",
+                    action=_DateTimeAction)
     # -d/-s use C atof semantics (unparsable -> 0.0, gpssim.c:1789,1838)
     # and -b C atoi, so malformed operands flow into the same validation
     # messages as the reference instead of an argparse type error.
     ap.add_argument("-d", dest="duration", type=c_atof, default=None)
     ap.add_argument("-o", dest="outfile", default="gpssim.bin")
-    ap.add_argument("-s", dest="samp_freq", type=c_atof, default=2.6e6)
-    ap.add_argument("-b", dest="bits", type=c_atoi, default=16)
+    ap.add_argument("-s", dest="samp_freq", type=c_atof, default=2.6e6,
+                    action=_SampFreqAction)
+    ap.add_argument("-b", dest="bits", type=c_atoi, default=16,
+                    action=_BitsAction)
     ap.add_argument("-i", dest="disable_iono", action="store_true")
     ap.add_argument("-v", dest="verbose", action="store_true")
     ap.add_argument("--impl", default="pallas",
@@ -152,8 +181,11 @@ def parse_args(argv) -> tuple:
     # getopt parity: unknown options print the missing-option message and
     # the usage (gpssim.c:1845-1848); bare non-option operands are ignored
     # (the reference's getopt permutes them past the loop, which never
-    # reads argv[optind..]).
+    # reads argv[optind..]); a bare `--` ends option scanning, so
+    # everything after it — even option-looking tokens — is an operand.
     for a in extras:
+        if a == "--":
+            break
         if a.startswith("-") and len(a) > 1:
             print(f"invalid option -- '{a.lstrip('-')[0]}'", file=sys.stderr)
             _usage()
@@ -179,13 +211,19 @@ def _parse_datetime(s: str) -> DateTime:
     return t
 
 
+def _write_json_summary(path: str, stats, samp_freq: float) -> None:
+    import json
+
+    with open(path, "w") as jfp:
+        json.dump(stats.summary(samp_freq), jfp, indent=1)
+
+
 def build_config(ns) -> ScenarioConfig:
+    # -s/-b/-t/-T were already validated per occurrence at parse time
+    # (argv order, see the _*Action classes); only the post-loop checks of
+    # gpssim.c:1856-1874 remain here, in the reference's order.
     if not ns.navfile:
         _err("GPS ephemeris file is not specified.")
-    if ns.samp_freq < 1.0e6:
-        _err("Invalid sampling frequency.")
-    if ns.bits not in (1, 8, 16):
-        _err("Invalid I/Q data format.")
 
     static_xyz = None
     if ns.xyz:
@@ -361,10 +399,7 @@ def _run(ns, cfg, scn, fp, close_fp) -> int:
             print(f"ERROR: {e}", file=sys.stderr)
             return 1
         if ns.json_summary:
-            import json
-
-            with open(ns.json_summary, "w") as jfp:
-                json.dump(stats.summary(scn.samp_freq), jfp, indent=1)
+            _write_json_summary(ns.json_summary, stats, scn.samp_freq)
         if ns.concat:
             import jax
 
@@ -396,10 +431,7 @@ def _run(ns, cfg, scn, fp, close_fp) -> int:
         print(f"Throughput = {stats.samples_per_second / 1e6:.1f} Msamples/s "
               f"({rt:.1f}x real time)", file=sys.stderr)
     if ns.json_summary:
-        import json
-
-        with open(ns.json_summary, "w") as jfp:
-            json.dump(stats.summary(scn.samp_freq), jfp, indent=1)
+        _write_json_summary(ns.json_summary, stats, scn.samp_freq)
     return 0
 
 

@@ -76,5 +76,7 @@ EPHEM_ARRAY_SIZE = 13
 import os as _os
 
 SUBBLOCK = int(_os.environ.get("GPS_SDR_SIM_SUBBLOCK", "2048"))
-assert SUBBLOCK % 128 == 0 and SUBBLOCK <= 4096
+if not (0 < SUBBLOCK <= 4096 and SUBBLOCK % 128 == 0):
+    raise ValueError("GPS_SDR_SIM_SUBBLOCK must be a positive multiple of "
+                     "128, at most 4096 (8192 hangs Mosaic compilation)")
 PHASE_FRAC_BITS = 40  # fixed-point resolution of the in-kernel phase ramp

@@ -123,7 +123,7 @@ def run_simulation_sharded(scn: Scenario, out_dir: str,
                            n_shards: Optional[int] = None,
                            batch_epochs: int = 20, impl: str = "pallas",
                            resume: bool = False,
-                           log=None) -> Manifest:
+                           log=None) -> "tuple[Manifest, RunStats]":
     """Write scenario output as time-shards under `out_dir` + manifest.json.
 
     In a multi-host run (jax.distributed initialized), host h writes shards

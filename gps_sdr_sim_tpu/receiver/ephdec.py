@@ -155,7 +155,7 @@ def decode_sets(subframes) -> "list[EphSet]":
     for s in sorted(subframes, key=lambda s: s.bit_index):
         d = _data24(s)
         if s.sbf_id == 1:
-            key = (((int(d[2]) & 0x3) << 8) | (int(d[7] >> 16) & 0xFF)) & 0xFF
+            key = int(d[7] >> 16) & 0xFF  # IODC & 0xFF (== IODE of the set)
             s1.setdefault(key, s)
         elif s.sbf_id == 2:
             s2.setdefault(int(d[2] >> 16) & 0xFF, s)

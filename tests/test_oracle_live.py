@@ -130,6 +130,15 @@ _FUZZ_CASES = [
     (["-e", NAV, "-z"], "unknown option"),
     (["-e", NAV, "-t", "2014/12/21,00:00:00", "-d", "1"],
      "start time outside ephemeris span"),
+    # getopt argv-order semantics (code-review regressions):
+    (["-e", NAV, "-t", "garbage", "-d", "90000"],
+     "date error beats the post-loop duration check"),
+    (["-e", NAV, "-s", "999", "-s", "2600000", "-d", "1"],
+     "each -s occurrence validated in argv order"),
+    (["-e", NAV, "-b", "12", "-s", "999"],
+     "first bad option in argv order wins"),
+    (["-e", NAV, "-d", "0.2", "--", "-z", "operand"],
+     "bare -- ends option scanning; later tokens are ignored operands"),
 ]
 
 

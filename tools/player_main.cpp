@@ -106,6 +106,10 @@ int main(int argc, char** argv) {
   // 1-bit expansion amplitude follows limeplayer's dynamic clamp
   // (limeplayer.c:138-140).
   amplitude = sdr_lime_clamp_dynamic(amplitude);
+  // Byte-oriented backends (hackrf) need the pipeline's value domain to
+  // recover the 8-bit wire scale (sdr_backends.h).
+  rf.input_bits = bits;
+  rf.rescale_shift = shift;
 
   const SdrBackend* sdr = sdr_backend(backend.c_str());
   if (in_path == nullptr || (bits != 1 && bits != 8 && bits != 16) ||

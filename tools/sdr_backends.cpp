@@ -136,6 +136,7 @@ namespace {
 struct HackState {
   hackrf_device* dev = nullptr;
   ByteRing ring{1 << 18};  // 256 KiB elastic buffer
+  int wire_shift = 4;      // pipeline int16 -> 8-bit wire (see hack_open)
 };
 
 int hack_tx_callback(hackrf_transfer* transfer) {
@@ -154,8 +155,20 @@ int hack_tx_callback(hackrf_transfer* transfer) {
   return 0;
 }
 
+// 8-bit wire shift for the pipeline's value domain: 16-bit input is
+// pre-shifted right by `rescale_shift` (wire = v >> (4 - s)), 8-bit input
+// left (wire = v >> s recovers the original bytes), 1-bit input is the
+// +-amplitude expansion (scale like 12-bit).
+int hack_wire_shift(const SdrConfig& cfg) {
+  int sh = cfg.input_bits == 16 ? 4 - cfg.rescale_shift
+           : cfg.input_bits == 8 ? cfg.rescale_shift
+                                 : 4;
+  return sh < 0 ? 0 : sh;
+}
+
 void* hack_open(const SdrConfig& cfg, const char** error) {
   static HackState st;
+  st.wire_shift = hack_wire_shift(cfg);
   if (hackrf_init() != HACKRF_SUCCESS) {
     *error = "hackrf_init failed";
     return nullptr;
@@ -191,15 +204,19 @@ void* hack_open(const SdrConfig& cfg, const char** error) {
 
 int hack_send(const int16_t* values, size_t n_values, void* user) {
   auto* st = static_cast<HackState*>(user);
-  // 16-bit pipeline values -> the 8-bit wire samples the reference streams
-  // (the generator's own 16->8 rule, gpssim.c:2278-2284), in bounded chunks.
+  // Pipeline int16 values -> the 8-bit wire samples the reference streams
+  // (its input file is the generator's -b 8 output, i.e. the 16->4-shift
+  // rule of gpssim.c:2278-2284). The shift depends on how the pipeline
+  // scaled the input (see hack_open); bounded chunks keep ring pushes
+  // memcpy-sized.
+  const int sh = st->wire_shift;
   int8_t wire[4096];
   size_t done = 0;
   while (done < n_values) {
     size_t n = n_values - done;
     if (n > sizeof(wire)) n = sizeof(wire);
     for (size_t k = 0; k < n; ++k) {
-      wire[k] = (int8_t)(values[done + k] >> 4);
+      wire[k] = (int8_t)(values[done + k] >> sh);
     }
     st->ring.push(wire, n);
     done += n;
@@ -354,6 +371,7 @@ struct PlutoState {
   struct iio_channel* tx0_q = nullptr;
   struct iio_buffer* buf = nullptr;
   size_t buf_samples = 0;
+  size_t fill = 0;  // int16 values accumulated in buf (push when full)
 };
 
 void pluto_teardown(PlutoState* st) {
@@ -438,22 +456,41 @@ void* pluto_open(const SdrConfig& cfg, const char** error) {
 }
 
 int pluto_send(const int16_t* values, size_t n_values, void* user) {
+  // Accumulate into the iio buffer and push only FULL buffers — the
+  // reference reads exactly one whole buffer per push
+  // (plutoplayer.c:205-230); pushing partial pipeline blocks padded with
+  // zeros would put ~1 s of silence on air after every block.
   auto* st = static_cast<PlutoState*>(user);
   int16_t* dst = (int16_t*)iio_buffer_start(st->buf);
   size_t cap = st->buf_samples * 2;
   size_t done = 0;
   while (done < n_values) {
     size_t n = n_values - done;
-    if (n > cap) n = cap;
-    memcpy(dst, values + done, n * sizeof(int16_t));
-    if (n < cap) memset(dst + n, 0, (cap - n) * sizeof(int16_t));
-    if (iio_buffer_push(st->buf) < 0) return 1;
+    if (n > cap - st->fill) n = cap - st->fill;
+    memcpy(dst + st->fill, values + done, n * sizeof(int16_t));
+    st->fill += n;
     done += n;
+    if (st->fill == cap) {
+      if (iio_buffer_push(st->buf) < 0) return 1;
+      st->fill = 0;
+    }
   }
   return 0;
 }
 
-void pluto_close(void* user) { pluto_teardown(static_cast<PlutoState*>(user)); }
+void pluto_close(void* user) {
+  auto* st = static_cast<PlutoState*>(user);
+  if (st->buf && st->fill > 0) {
+    // Flush the trailing partial buffer, zero-padded (the trailing-block
+    // padding the player applies elsewhere, bladeplayer.c:262-276).
+    int16_t* dst = (int16_t*)iio_buffer_start(st->buf);
+    size_t cap = st->buf_samples * 2;
+    memset(dst + st->fill, 0, (cap - st->fill) * sizeof(int16_t));
+    iio_buffer_push(st->buf);
+    st->fill = 0;
+  }
+  pluto_teardown(st);
+}
 
 }  // namespace
 #define PLUTO_AVAILABLE true

@@ -39,6 +39,12 @@ struct SdrConfig {
   int channel = 0;         // lime TX channel (limeplayer.c:127-129)
   double atten_db = -20.0;  // pluto hardware gain dB (plutoplayer.c:70)
   const char* pluto_addr = nullptr;  // pluto network context (-n ip)
+  // Pipeline value domain, so byte-oriented backends can recover the
+  // 8-bit wire scale: 16-bit input arrives right-shifted by
+  // rescale_shift, 8-bit input left-shifted by it, 1-bit input expanded
+  // to +-amplitude (player_main.cpp -b/-s).
+  int input_bits = 16;
+  int rescale_shift = 0;
 };
 
 struct SdrBackend {
