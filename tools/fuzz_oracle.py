@@ -98,7 +98,11 @@ def gen_case(rng: np.random.Generator) -> dict:
         argv += ["-v"]
     if rng.random() < 0.3:
         hh = int(rng.integers(1, 22))
-        argv += ["-t", f"2014/12/20,{hh:02d}:{int(rng.integers(60)):02d}:00"]
+        # -T overwrites all TOC/TOE to the start time rounded to 2 h
+        # (gpssim.c:1978-2015); with an explicit date it is deterministic,
+        # so both binaries see identical shifted ephemerides.
+        flag = "-T" if rng.random() < 0.4 else "-t"
+        argv += [flag, f"2014/12/20,{hh:02d}:{int(rng.integers(60)):02d}:00"]
     return {"argv": argv, "bits": bits, "fixed_carr": fixed_carr}
 
 
