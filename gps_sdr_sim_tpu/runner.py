@@ -63,6 +63,32 @@ def _pad_batch(db: DeviceBatch, target_b: int) -> DeviceBatch:
     return pad_epoch_axis(db, target_b)
 
 
+def _fetch_with_retry(dev, recompute, retries: int = 2,
+                      log=None) -> np.ndarray:
+    """Device->host fetch with transient-error recovery.
+
+    Time-shared/tunneled accelerators surface transient INTERNAL /
+    UNIMPLEMENTED / UNAVAILABLE bursts at readback time (the dispatch was
+    async). Failure detection + recovery is batch-granular by design —
+    every batch is independently recomputable from host state (SURVEY.md
+    §5) — so a failed fetch re-synthesizes that one batch and tries again
+    instead of killing an hours-long run.
+    """
+    for attempt in range(retries + 1):
+        try:
+            return np.asarray(dev)
+        except Exception as ex:  # jaxlib XlaRuntimeError has no stable path
+            if attempt >= retries or type(ex).__name__ not in (
+                    "XlaRuntimeError", "JaxRuntimeError"):
+                raise
+            if log is not None:
+                log(f"\ntransient device error, recomputing batch "
+                    f"(attempt {attempt + 1}): {str(ex)[:120]}\n")
+            time.sleep(1.0 + 2.0 * attempt)
+            dev = recompute()
+    raise AssertionError("unreachable")
+
+
 def iter_seg_batches(scn: Scenario, lo: int, hi: int, batch_epochs: int):
     """Yield (segment, e0, e1) covering output epochs [lo, hi) in order.
 
@@ -113,12 +139,14 @@ def run_epoch_range(scn: Scenario, fp: BinaryIO, lo: int, hi: int,
     stats = RunStats()
     t_start = time.time()
 
-    pending = deque()  # (device_array, valid_epochs), oldest first
+    pending = deque()  # (device_array, valid_epochs, recompute), oldest first
 
     def flush(item):
-        dev, valid = item
+        dev, valid, recompute = item
         t0 = time.time()
-        host = np.asarray(dev)  # blocks until device work + copy complete
+        # Blocks until device work + copy complete; transient device
+        # errors (time-shared/tunneled chips) re-synthesize this batch.
+        host = _fetch_with_retry(dev, recompute, log=log)
         t1 = time.time()
         fp.write(np.ascontiguousarray(host[:valid]).data)
         stats.fetch_seconds += t1 - t0
@@ -137,32 +165,36 @@ def run_epoch_range(scn: Scenario, fp: BinaryIO, lo: int, hi: int,
 
         staged_stream = synth_pallas.iter_staged(items, _stage)
 
-    for idx, (seg, e, e1) in enumerate(items):
-        b = e1 - e
-        t_plan = time.time()
+    def compute(seg, e, e1):
+        """Plan + synthesize + pack one batch (fresh; used for retry)."""
         if mesh is not None:
             if impl == "pallas":
-                # Pod path: compact wire upload + per-device rebase
-                # (parallel.synth_epochs_sharded).
                 from gps_sdr_sim_tpu.parallel import synth_epochs_sharded
 
                 eb = pad_epochs(plan_epochs(seg, e, e1, scn.delt),
                                 batch_epochs)
-                iq = synth_epochs_sharded(eb, n, mesh)
-            else:
-                from gps_sdr_sim_tpu.parallel import synth_batch_sharded
+                return pack(synth_epochs_sharded(eb, n, mesh), fmt)
+            from gps_sdr_sim_tpu.parallel import synth_batch_sharded
 
-                db = _pad_batch(plan_batch(seg, e, e1, n, scn.delt),
-                                batch_epochs)
-                iq = synth_batch_sharded(db, n, mesh)
-        elif impl == "pallas":
-            staged, _item = next(staged_stream)
-            iq = synth_pallas.synth_staged(staged, n)  # async dispatch
-        else:
             db = _pad_batch(plan_batch(seg, e, e1, n, scn.delt),
                             batch_epochs)
-            iq = synth_jnp.synth_batch(db, n)
-        out = pack(iq, fmt)
+            return pack(synth_batch_sharded(db, n, mesh), fmt)
+        if impl == "pallas":
+            return pack(synth_pallas.synth_epochs(pad_epochs(
+                plan_epochs(seg, e, e1, scn.delt), batch_epochs), n), fmt)
+        db = _pad_batch(plan_batch(seg, e, e1, n, scn.delt), batch_epochs)
+        return pack(synth_jnp.synth_batch(db, n), fmt)
+
+    for idx, (seg, e, e1) in enumerate(items):
+        b = e1 - e
+        t_plan = time.time()
+        if staged_stream is not None:
+            # Single-chip pallas hot path: consume the pre-staged upload.
+            staged, _item = next(staged_stream)
+            iq = synth_pallas.synth_staged(staged, n)  # async dispatch
+            out = pack(iq, fmt)
+        else:
+            out = compute(seg, e, e1)
         try:
             out.copy_to_host_async()
         except AttributeError:
@@ -170,7 +202,8 @@ def run_epoch_range(scn: Scenario, fp: BinaryIO, lo: int, hi: int,
         stats.plan_seconds += time.time() - t_plan  # host plan + dispatch
         if len(pending) >= queue_depth:
             flush(pending.popleft())  # timed as fetch/write, not plan
-        pending.append((out, b))
+        pending.append((out, b,
+                        lambda seg=seg, e=e, e1=e1: compute(seg, e, e1)))
         stats.device_batches += 1
         stats.total_samples += b * n
         t_into = (seg.first_epoch + e1 - 1) * 0.1

@@ -212,3 +212,50 @@ def test_sharded_run_returns_aggregated_stats(tmp_path):
     assert stats.total_samples == scn.total_samples
     assert stats.device_batches >= 2
     assert stats.wall_seconds > 0
+
+
+def test_fetch_with_retry_recomputes_on_transient_device_error():
+    """runner._fetch_with_retry: a transient XlaRuntimeError at readback
+    re-synthesizes the batch (every batch is independently recomputable);
+    non-transient exception types propagate immediately."""
+    from gps_sdr_sim_tpu.runner import _fetch_with_retry
+
+    class XlaRuntimeError(Exception):
+        pass
+
+    class FlakyDev:
+        def __init__(self, fails):
+            self.fails = fails
+
+        def __array__(self, dtype=None, copy=None):
+            if self.fails > 0:
+                self.fails -= 1
+                raise XlaRuntimeError("INTERNAL: transient burst")
+            return np.arange(4)
+
+    calls = []
+
+    def recompute():
+        calls.append(1)
+        return FlakyDev(0)
+
+    out = _fetch_with_retry(FlakyDev(1), recompute, log=lambda s: None)
+    np.testing.assert_array_equal(out, np.arange(4))
+    assert len(calls) == 1
+
+    # Exhausted retries -> the error propagates.
+    with pytest.raises(XlaRuntimeError):
+        _fetch_with_retry(FlakyDev(9), lambda: FlakyDev(9), retries=1,
+                          log=lambda s: None)
+
+    # Non-device exceptions are not retried.
+    class Boom(Exception):
+        pass
+
+    class BadDev:
+        def __array__(self, dtype=None, copy=None):
+            raise Boom()
+
+    with pytest.raises(Boom):
+        _fetch_with_retry(BadDev(), recompute, log=lambda s: None)
+    assert len(calls) == 1  # recompute not called again
