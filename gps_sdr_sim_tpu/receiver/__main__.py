@@ -45,7 +45,17 @@ def main(argv=None) -> int:
                          "(the signal carries only week mod 1024): 1 = "
                          "1999-08..2019-04 (the bundled 2014 data), 2 = "
                          "2019-04..2038-11")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the host CPU even when an accelerator "
+                         "is present (a time-shared/tunneled device can "
+                         "be slower than local tracking)")
     ns = ap.parse_args(argv)
+    if ns.cpu:
+        import jax
+
+        # Must precede first backend use; JAX_PLATFORMS env alone is
+        # ignored once a PJRT plugin is installed (see CLAUDE.md).
+        jax.config.update("jax_platforms", "cpu")
     if (ns.rinex_obs or ns.rinex_nav) and ns.track <= 0:
         ap.error("--rinex-obs/--rinex-nav require --track SECONDS")
     if ns.pvt and ns.track <= 0:

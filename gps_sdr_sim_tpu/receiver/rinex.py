@@ -97,7 +97,12 @@ def obs_epochs(res: TrackResult, frames=None, interval: float = 1.0):
         C1[:, j] = (t_obs - tx[ms]) * SPEED_OF_LIGHT
         dop = res.doppler[:, c].astype(np.float64)
         phase = np.concatenate([[0.0], np.cumsum(dop) * 1e-3])
-        L1[:, j] = -(phase[ms] - phase[ms[0]])  # dL1/dt = -D1 (RTKCONV)
+        # Absolute PLL NCO phase (the accumulator starts at 0 and the
+        # Costas loop locks it to the signal carrier modulo half cycles),
+        # not zeroed at the first epoch: keeping the absolute value
+        # preserves the half-integer double-difference ambiguity
+        # structure receiver/rtk.py exploits. dL1/dt = -D1 (RTKCONV).
+        L1[:, j] = -phase[ms]
         D1[:, j] = dop[ms]
         for k, m in enumerate(ms):
             lo, hi = max(0, m - 500), min(n_ms, m + 500)

@@ -1,0 +1,304 @@
+"""Double-difference carrier-phase baseline solver (software RTKLIB).
+
+The strongest correctness evidence the reference ships is `rtk/`
+(SURVEY.md §2.3/§4): two simulated datasets captured on a u-blox
+receiver, RTKCONV'd to RINEX, and post-processed with RTKLIB to a
+carrier-phase differential fix (`/root/reference/rtk/base.obs`,
+`rtk/rtklib/rtkpost.png`). That chain proves the synthesized L1 carrier
+is phase-coherent across receivers — something no pseudorange test can
+show. This module reproduces the RTKLIB step in software: it consumes
+the RINEX obs pair + nav file written by receiver/rinex.py and solves
+the base→rover baseline from double-differenced carrier phase.
+
+Model. For receiver r and satellite s the transmit instant is exact:
+tx = t_obs − C1/c is the SV time stamp of the received sample, and the
+SV clock correction from the nav message moves it onto GPS time. The
+phase-range is then purely geometric — c·(flight time) =
+|R(ω·τ)·p_sat(tx) − x_r| — with no receiver or satellite clock anywhere
+in it, so single differences across receivers cancel the satellite
+phase origin and double differences cancel everything but geometry and
+the carrier ambiguity.
+
+Ambiguities are HALF-integers here, not integers: the receiver's Costas
+PLL (receiver/track.py) locks its NCO to the carrier modulo half
+cycles (the 180° data ambiguity), and receiver/rinex.py writes the
+absolute NCO phase. The solver therefore fixes ambiguities in units of
+λ/2. This mirrors the half-cycle flag RTKLIB carries for the same
+reason. (The half-integer structure also relies on base and rover
+scenarios allocating channels at the same epochs, which holds for the
+bundled static validation scenes — when it does not, the float solution
+is still valid and the fix simply fails validation.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from gps_sdr_sim_tpu.constants import (OMEGA_EARTH, R2D, SPEED_OF_LIGHT)
+from gps_sdr_sim_tpu.models.ephemeris import eph_field_arrays
+from gps_sdr_sim_tpu.models.orbit import satpos
+from gps_sdr_sim_tpu.receiver.ambiguity import ils_solve
+from gps_sdr_sim_tpu.receiver.rinexobs import ObsData
+from gps_sdr_sim_tpu.utils.coord import (ecef2neu, ltcmat, neu2azel,
+                                         xyz2llh)
+
+_L1_HZ = 1575.42e6
+LAMBDA_L1 = SPEED_OF_LIGHT / _L1_HZ
+
+
+@dataclass
+class RtkSolution:
+    baseline: np.ndarray       # rover − base, ECEF meters (fixed if fixed)
+    baseline_float: np.ndarray  # float solution baseline
+    fixed: bool                # half-cycle ambiguities fixed & validated
+    ref_prn: int
+    prns: np.ndarray           # non-reference satellites, DD order
+    amb_float: np.ndarray      # float DD ambiguities (half cycles)
+    amb_frac: float            # worst |float − fixed| (half cycles)
+    ratio: float               # ILS ratio test (2nd best / best)
+    phase_rms: float           # DD phase residual RMS of the reported
+    #                            solution (meters)
+    n_epochs: int
+    n_sats: int                # incl. the reference satellite
+    base_xyz: np.ndarray = None  # the base anchor actually used
+
+
+def _sat_states(eph_objs: Sequence, t_obs: np.ndarray, c1: np.ndarray):
+    """Satellite ECEF position at the exact transmit instant of each
+    observation, plus the applied SV clock offset.
+
+    t_obs, c1: [K, S]; returns pos [K, S, 3].
+    """
+    eph = eph_field_arrays(list(eph_objs))
+    tx_sv = t_obs - c1 / SPEED_OF_LIGHT
+    pos = np.empty(t_obs.shape + (3,))
+    for k in range(t_obs.shape[0]):
+        _, _, clk = satpos(eph, tx_sv[k])
+        tx_gps = tx_sv[k] - clk[..., 0]
+        pos[k], _, _ = satpos(eph, tx_gps)
+    return pos
+
+
+def _rho_e(x: np.ndarray, pos: np.ndarray):
+    """Geometric range and unit LOS with Sagnac (flight-time fixed point).
+
+    The Earth-rotation correction is the same rotation the generator
+    applies (models/observables.py; gpssim.c:1276-1280), iterated on the
+    flight time so the model is exact for either receiver regardless of
+    its clock offset.
+    """
+    tau = np.linalg.norm(pos - x, axis=-1) / SPEED_OF_LIGHT
+    for _ in range(2):
+        ang = OMEGA_EARTH * tau
+        ca, sa = np.cos(ang), np.sin(ang)
+        p_rot = np.stack([ca * pos[..., 0] + sa * pos[..., 1],
+                          -sa * pos[..., 0] + ca * pos[..., 1],
+                          pos[..., 2]], axis=-1)
+        rho = np.linalg.norm(p_rot - x, axis=-1)
+        tau = rho / SPEED_OF_LIGHT
+    return rho, (p_rot - x) / rho[..., None]
+
+
+def _spp(eph_objs, t_obs_row, c1_row) -> np.ndarray:
+    """Single-point position from one epoch's pseudoranges (for the
+    linearization point / unknown base); reuses the PVT solver."""
+    from gps_sdr_sim_tpu.receiver.pvt import ChannelObs, solve
+
+    chans = [ChannelObs(prn=0, tx_time=t - r / SPEED_OF_LIGHT, eph=e)
+             for e, t, r in zip(eph_objs, t_obs_row, c1_row)]
+    return solve(chans).xyz
+
+
+def solve_baseline(rover: ObsData, base: ObsData,
+                   eph_by_prn: Dict[int, object],
+                   base_xyz: Optional[np.ndarray] = None,
+                   sigma_phase: float = 0.003, sigma_code: float = 3.0,
+                   ratio_threshold: float = 3.0) -> RtkSolution:
+    """Static double-difference baseline from a RINEX obs pair + nav.
+
+    eph_by_prn: decoded/parsed Ephemeris per PRN (e.g. from
+    models/ephemeris.read_rinex_nav_all on the receiver's own nav file).
+    base_xyz anchors the base (RTKLIB's "base station position"); when
+    None it is single-point estimated, which degrades the baseline only
+    by the ~meter SPP error projected through the <1e-4 rad geometry
+    difference (RTKLIB does the same with its rtkpost "Average of
+    single position" option).
+    """
+    by_t_rov = {round(e.t.week * 604800.0 + e.t.sec, 6): e
+                for e in rover.epochs}
+    by_t_base = {round(e.t.week * 604800.0 + e.t.sec, 6): e
+                 for e in base.epochs}
+    common_t = sorted(set(by_t_rov) & set(by_t_base))
+    if len(common_t) < 2:
+        raise ValueError("fewer than 2 common epochs between rover and "
+                         "base obs")
+
+    # Satellites present with C1+L1 in every common epoch of both files
+    # (static scenes keep a constant constellation; anything transient
+    # would need per-epoch bookkeeping and cycle-slip handling).
+    sats = None
+    for t in common_t:
+        here = {p for p, v in by_t_rov[t].obs.items()
+                if "C1" in v and "L1" in v}
+        here &= {p for p, v in by_t_base[t].obs.items()
+                 if "C1" in v and "L1" in v}
+        sats = here if sats is None else (sats & here)
+    sats = sorted(p for p in sats if p in eph_by_prn
+                  and not getattr(eph_by_prn[p], "svhlth", 0))
+    if len(sats) < 4:
+        raise ValueError(f"need >=4 common satellites, got {len(sats)}")
+
+    K, S = len(common_t), len(sats)
+    eph_objs = [eph_by_prn[p] for p in sats]
+    sow = np.array([t % 604800.0 for t in common_t])
+
+    def grid(by_t, typ):
+        return np.array([[by_t[t].obs[p][typ] for p in sats]
+                         for t in common_t])
+
+    c1_r, l1_r = grid(by_t_rov, "C1"), grid(by_t_rov, "L1")
+    c1_b, l1_b = grid(by_t_base, "C1"), grid(by_t_base, "L1")
+
+    t_obs = np.broadcast_to(sow[:, None], (K, S))
+    pos_r = _sat_states(eph_objs, t_obs, c1_r)
+    pos_b = _sat_states(eph_objs, t_obs, c1_b)
+
+    if base_xyz is None:
+        base_xyz = _spp(eph_objs, t_obs[0], c1_b[0])
+    base_xyz = np.asarray(base_xyz, float)
+    x_rov = _spp(eph_objs, t_obs[0], c1_r[0])
+
+    # Reference satellite: highest elevation seen from the base.
+    azel = neu2azel(ecef2neu(pos_b[0] - base_xyz,
+                             ltcmat(xyz2llh(base_xyz))))
+    ref = int(np.argmax(azel[..., 1]))
+    oth = [j for j in range(S) if j != ref]
+
+    def dd(a: np.ndarray) -> np.ndarray:
+        """[K, S] zero-difference → [K, S-1] double difference."""
+        sd = a[:, oth] - a[:, [ref]]
+        return sd
+
+    # Observed DDs: rover−base across receivers, then minus the ref sat.
+    dd_code = dd(c1_r - c1_b)
+    dd_phase = dd(LAMBDA_L1 * (l1_r - l1_b))
+    rho_b, _ = _rho_e(base_xyz, pos_b)
+
+    w_ph, w_cd = 1.0 / sigma_phase, 1.0 / sigma_code
+    half = LAMBDA_L1 / 2.0
+
+    amb = np.zeros(S - 1)
+    A = None
+    for _ in range(4):
+        rho_r, e_r = _rho_e(x_rov, pos_r)
+        dd_model = dd(rho_r - rho_b)
+        # ∂DD/∂x_rov: only the rover ranges depend on x.
+        H_geo = -(e_r[:, oth] - e_r[:, [ref]])          # [K, S-1, 3]
+        r_ph = (dd_phase - dd_model - half * amb)        # [K, S-1]
+        r_cd = (dd_code - dd_model)
+
+        n_dd = K * (S - 1)
+        A = np.zeros((2 * n_dd, 3 + S - 1))
+        b = np.empty(2 * n_dd)
+        A[:n_dd, :3] = H_geo.reshape(n_dd, 3) * w_ph
+        rows = np.arange(n_dd)  # row-major [k, j] -> ambiguity j
+        A[rows, 3 + rows % (S - 1)] = half * w_ph
+        b[:n_dd] = r_ph.reshape(-1) * w_ph
+        A[n_dd:, :3] = H_geo.reshape(n_dd, 3) * w_cd
+        b[n_dd:] = r_cd.reshape(-1) * w_cd
+        d, *_ = np.linalg.lstsq(A, b, rcond=None)
+        x_rov = x_rov + d[:3]
+        amb = amb + d[3:]
+        if np.linalg.norm(d[:3]) < 1e-4:
+            break
+
+    x_float = x_rov.copy()
+    rho_r, e_r = _rho_e(x_float, pos_r)
+    res_float = dd_phase - dd(rho_r - rho_b) - half * amb
+    phase_rms = float(np.sqrt(np.mean(res_float ** 2)))
+
+    # Integer least squares over the full float covariance (per-component
+    # rounding fails here: over a short static window position and
+    # ambiguities are near-collinear, see receiver/ambiguity.py), then
+    # RTKLIB's ratio validation between the two best lattice points.
+    Q = np.linalg.inv(A.T @ A)
+    cands, dists = ils_solve(amb, Q[3:, 3:], n_cand=2)
+    a_int = cands[0].astype(np.float64)
+    ratio = float(dists[1] / max(dists[0], 1e-12))
+    amb_frac = float(np.max(np.abs(amb - a_int)))
+    fixed = ratio >= ratio_threshold
+
+    x_fix = x_float
+    if fixed:
+        x_fix = x_float.copy()
+        for _ in range(3):
+            rho_r, e_r = _rho_e(x_fix, pos_r)
+            r_ph = dd_phase - dd(rho_r - rho_b) - half * a_int
+            H = -(e_r[:, oth] - e_r[:, [ref]])
+            d, *_ = np.linalg.lstsq(H.reshape(-1, 3), r_ph.reshape(-1),
+                                    rcond=None)
+            x_fix = x_fix + d
+            if np.linalg.norm(d) < 1e-5:
+                break
+        rho_r, _ = _rho_e(x_fix, pos_r)
+        res_fix = dd_phase - dd(rho_r - rho_b) - half * a_int
+        phase_rms = float(np.sqrt(np.mean(res_fix ** 2)))
+
+    return RtkSolution(
+        baseline=x_fix - base_xyz, baseline_float=x_float - base_xyz,
+        fixed=fixed, ref_prn=sats[ref],
+        prns=np.array([sats[j] for j in oth], np.int32),
+        amb_float=amb, amb_frac=amb_frac, ratio=ratio,
+        phase_rms=phase_rms, n_epochs=K, n_sats=S, base_xyz=base_xyz)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="gps-sdr-rtk",
+        description="Double-difference L1 baseline from a RINEX obs pair "
+                    "(the software rtkpost of the reference's rtk/ flow)")
+    ap.add_argument("rover_obs")
+    ap.add_argument("base_obs")
+    ap.add_argument("nav")
+    ap.add_argument("--base-xyz", metavar="X,Y,Z",
+                    help="known base ECEF position (default: single-point)")
+    args = ap.parse_args(argv)
+
+    from gps_sdr_sim_tpu.models.ephemeris import (IonoUtc,
+                                                  read_rinex_nav_all)
+    from gps_sdr_sim_tpu.receiver.rinexobs import read_rinex_obs
+
+    rover = read_rinex_obs(args.rover_obs)
+    base = read_rinex_obs(args.base_obs)
+    eph, _n = read_rinex_nav_all(args.nav, IonoUtc())
+    eph_by_prn = {p + 1: eph[0][p] for p in range(32) if eph[0][p].vflg}
+
+    base_xyz = None
+    if args.base_xyz:
+        base_xyz = np.array([float(v) for v in args.base_xyz.split(",")])
+    sol = solve_baseline(rover, base, eph_by_prn, base_xyz=base_xyz)
+
+    neu = ecef2neu(sol.baseline, ltcmat(xyz2llh(sol.base_xyz)))
+    print(f"epochs: {sol.n_epochs}   satellites: {sol.n_sats} "
+          f"(ref PRN {sol.ref_prn})")
+    print(f"float baseline  ECEF [{sol.baseline_float[0]:+11.3f} "
+          f"{sol.baseline_float[1]:+11.3f} {sol.baseline_float[2]:+11.3f}] "
+          f"m  |b| = {np.linalg.norm(sol.baseline_float):9.3f} m")
+    q = "FIX" if sol.fixed else "FLOAT"
+    print(f"{q:5s} baseline  ECEF [{sol.baseline[0]:+11.3f} "
+          f"{sol.baseline[1]:+11.3f} {sol.baseline[2]:+11.3f}] m  "
+          f"NEU [{neu[0]:+9.3f} {neu[1]:+9.3f} {neu[2]:+9.3f}] m  "
+          f"|b| = {np.linalg.norm(sol.baseline):9.3f} m")
+    print(f"ambiguities (half cycles): ILS ratio {sol.ratio:.1f}, worst "
+          f"float-fix gap {sol.amb_frac:.3f}  "
+          f"DD phase residual rms {sol.phase_rms * 1e3:.1f} mm")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,156 @@
+"""Software RTK closure: the reference's rtk/ validation, hardware-free.
+
+The reference's strongest correctness evidence is carrier-phase
+differential positioning of its simulated signals (rtk/base.obs +
+rtk/rover.csv post-processed with RTKLIB, SURVEY.md §2.3/§4). Here the
+whole chain runs in software: synthesize base + rover scenes, track
+both with the software receiver, write RINEX pairs
+(receiver/rinex.py), parse them back (receiver/rinexobs.py), and solve
+the double-difference baseline with integer (half-cycle) ambiguity
+resolution (receiver/rtk.py + receiver/ambiguity.py). A millimeter-
+level fixed baseline proves inter-scenario carrier coherence — a claim
+no pseudorange test can make.
+"""
+
+import io
+import itertools
+
+import numpy as np
+import pytest
+
+from gps_sdr_sim_tpu.constants import R2D
+from gps_sdr_sim_tpu.models.ephemeris import IonoUtc, read_rinex_nav_all
+from gps_sdr_sim_tpu.models.scenario import ScenarioConfig, build_scenario
+from gps_sdr_sim_tpu.receiver import acquire, load_iq, track
+from gps_sdr_sim_tpu.receiver.ambiguity import ils_solve
+from gps_sdr_sim_tpu.receiver.rinex import write_nav, write_obs
+from gps_sdr_sim_tpu.receiver.rinexobs import read_rinex_obs
+from gps_sdr_sim_tpu.receiver.rtk import solve_baseline
+from gps_sdr_sim_tpu.runner import run_simulation
+from gps_sdr_sim_tpu.utils.coord import llh2xyz
+
+FS = 2.048e6
+DURATION = 26.0  # covers subframes 1-4: ephemeris + iono decode
+
+BASE_LLH = np.array([35.681298 / R2D, 139.766247 / R2D, 10.0])
+ROVER_LLH = np.array([(35.681298 + 0.00020) / R2D,
+                      (139.766247 + 0.00025) / R2D, 12.0])
+BASE = llh2xyz(BASE_LLH)
+ROVER = llh2xyz(ROVER_LLH)  # ~32 m baseline
+
+
+def _capture(xyz):
+    cfg = ScenarioConfig(nav_file="data/brdc3540.14n", static_xyz=xyz,
+                         duration=DURATION, samp_freq=FS, data_format=16)
+    scn = build_scenario(cfg)
+    buf = io.BytesIO()
+    run_simulation(scn, buf, batch_epochs=16, impl="xla",
+                   log=lambda s: None)
+    x = load_iq(buf.getvalue(), 16)
+    return track(x, FS, acquire(x, FS, dopp_step=50.0))
+
+
+@pytest.fixture(scope="module")
+def rinex_pair():
+    tr_base = _capture(BASE)
+    tr_rover = _capture(ROVER)
+    fo_b, fo_r, fn = io.StringIO(), io.StringIO(), io.StringIO()
+    write_obs(fo_b, tr_base, interval=1.0, approx_xyz=BASE)
+    write_obs(fo_r, tr_rover, interval=1.0)
+    write_nav(fn, tr_base)
+    return fo_b.getvalue(), fo_r.getvalue(), fn.getvalue()
+
+
+@pytest.fixture(scope="module")
+def eph_by_prn(rinex_pair, tmp_path_factory):
+    _, _, nav_txt = rinex_pair
+    p = tmp_path_factory.mktemp("rtk") / "rx.nav"
+    p.write_text(nav_txt)
+    eph, _ = read_rinex_nav_all(str(p), IonoUtc())
+    return {k + 1: eph[0][k] for k in range(32) if eph[0][k].vflg}
+
+
+def test_obs_parser_roundtrips_writer(rinex_pair):
+    """read_rinex_obs is the exact inverse of write_obs at the file's
+    print precision."""
+    obs_txt, _, _ = rinex_pair
+    data = read_rinex_obs(io.StringIO(obs_txt))
+    assert data.types == ["C1", "L1", "D1", "S1"]
+    assert np.allclose(data.approx_xyz, BASE, atol=1e-4)
+    assert len(data.epochs) >= 20
+    for ep in data.epochs:
+        assert ep.t.sec == round(ep.t.sec)  # steered to whole seconds
+        for prn, vals in ep.obs.items():
+            assert 1 <= prn <= 32
+            assert set(vals) == {"C1", "L1", "D1", "S1"}
+            assert 1.8e7 < vals["C1"] < 3.0e7
+            assert 25.0 < vals["S1"] < 60.0
+
+
+def test_ils_matches_brute_force():
+    """ambiguity.ils_solve returns the true two best lattice points."""
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        n = int(rng.integers(2, 5))
+        M = rng.normal(size=(n, n))
+        Q = M @ M.T + 0.01 * np.eye(n)
+        a = rng.normal(scale=3.0, size=n)
+        cands, dists = ils_solve(a, Q, n_cand=2)
+        W = np.linalg.inv(Q)
+        lo = np.floor(a).astype(int) - 5
+        grid = [range(v, v + 11) for v in lo]
+        scored = sorted((((z - a) @ W @ (z - a)), z)
+                        for z in map(np.array, itertools.product(*grid)))
+        assert np.array_equal(scored[0][1], cands[0])
+        assert abs(scored[0][0] - dists[0]) < 1e-8
+        assert abs(scored[1][0] - dists[1]) < 1e-8
+
+
+def test_dd_baseline_fixes_to_millimeters(rinex_pair, eph_by_prn):
+    """Double-difference solution with a known base: the fixed baseline
+    must agree with the simulated geometry at the millimeter level."""
+    obs_b, obs_r, _ = rinex_pair
+    sol = solve_baseline(read_rinex_obs(io.StringIO(obs_r)),
+                         read_rinex_obs(io.StringIO(obs_b)),
+                         eph_by_prn, base_xyz=BASE)
+    true_baseline = ROVER - BASE
+    assert sol.n_sats >= 8 and sol.n_epochs >= 20
+    float_err = np.linalg.norm(sol.baseline_float - true_baseline)
+    assert float_err < 0.5, f"float baseline error {float_err:.3f} m"
+    assert sol.fixed and sol.ratio > 3.0, (sol.ratio, sol.amb_frac)
+    fixed_err = np.linalg.norm(sol.baseline - true_baseline)
+    assert fixed_err < 0.005, f"fixed baseline error {fixed_err * 1e3:.2f} mm"
+    assert sol.phase_rms < 0.005  # meters: DD carrier coherence
+
+
+def test_dd_baseline_without_base_anchor(rinex_pair, eph_by_prn):
+    """With the base position unknown (single-point averaged, RTKLIB's
+    default), the BASELINE stays millimetric even though the absolute
+    positions are only meter-level."""
+    obs_b, obs_r, _ = rinex_pair
+    sol = solve_baseline(read_rinex_obs(io.StringIO(obs_r)),
+                         read_rinex_obs(io.StringIO(obs_b)), eph_by_prn)
+    assert sol.fixed
+    err = np.linalg.norm(sol.baseline - (ROVER - BASE))
+    assert err < 0.005, f"baseline error {err * 1e3:.2f} mm"
+
+
+def test_rtk_cli_reports_fix(rinex_pair, tmp_path, capsys):
+    from gps_sdr_sim_tpu.receiver.rtk import main
+
+    obs_b, obs_r, nav_txt = rinex_pair
+    pb, pr, pn = (tmp_path / n for n in ("base.obs", "rover.obs", "rx.nav"))
+    pb.write_text(obs_b)
+    pr.write_text(obs_r)
+    pn.write_text(nav_txt)
+    xyz = ",".join(f"{v:.4f}" for v in BASE)
+    # --base-xyz=VALUE: ECEF coordinates can be negative, so the glued
+    # form is the only one argparse accepts.
+    assert main([str(pr), str(pb), str(pn), f"--base-xyz={xyz}"]) == 0
+    out = capsys.readouterr().out
+    assert "FIX" in out and "float baseline" in out
+    # printed |b| must be the ~32 m separation
+    import re
+    m = re.search(r"FIX.*\|b\| = *([0-9.]+) m", out)
+    assert m and abs(float(m.group(1))
+                     - np.linalg.norm(ROVER - BASE)) < 0.01
