@@ -175,8 +175,16 @@ def main() -> int:
 
     if ns.readback:
         t0 = time.time()
+        stream = (synth_pallas.iter_staged(batches, lambda t: _stage(*t))
+                  if ns.impl == "pallas" else None)
         for seg, e0, e1 in batches:
-            _ = np.asarray(synth_one(seg, e0, e1, 16))
+            if stream is not None:
+                staged, _item = next(stream)
+                iq = pack(synth_pallas.synth_staged(staged, n), 16)
+            else:
+                db = _pad_batch(plan_batch(seg, e0, e1, n, scn.delt), B)
+                iq = pack(synth_jnp.synth_batch(db, n), 16)
+            _ = np.asarray(iq[:e1 - e0])
         wall = time.time() - t0
         print(f"with full device->host readback: {wall:.2f} s wall, "
               f"{scn.total_samples / scn.samp_freq / wall:.1f}x real time "

@@ -66,6 +66,12 @@ class RtkSolution:
     n_epochs: int
     n_sats: int                # incl. the reference satellite
     base_xyz: np.ndarray = None  # the base anchor actually used
+    # Kinematic mode only (RTKLIB positioning mode "kinematic"; the
+    # reference's rtk/rover.csv ground-track scenario): per-epoch rover
+    # baselines and their GPS seconds-of-week time tags. `baseline` is
+    # then the mean over epochs.
+    baselines: Optional[np.ndarray] = None   # [K, 3]
+    times: Optional[np.ndarray] = None       # [K] SOW
 
 
 def _sat_states(eph_objs: Sequence, t_obs: np.ndarray, c1: np.ndarray):
@@ -118,8 +124,9 @@ def solve_baseline(rover: ObsData, base: ObsData,
                    eph_by_prn: Dict[int, object],
                    base_xyz: Optional[np.ndarray] = None,
                    sigma_phase: float = 0.003, sigma_code: float = 3.0,
-                   ratio_threshold: float = 3.0) -> RtkSolution:
-    """Static double-difference baseline from a RINEX obs pair + nav.
+                   ratio_threshold: float = 3.0,
+                   kinematic: bool = False) -> RtkSolution:
+    """Double-difference baseline from a RINEX obs pair + nav.
 
     eph_by_prn: decoded/parsed Ephemeris per PRN (e.g. from
     models/ephemeris.read_rinex_nav_all on the receiver's own nav file).
@@ -128,6 +135,12 @@ def solve_baseline(rover: ObsData, base: ObsData,
     by the ~meter SPP error projected through the <1e-4 rad geometry
     difference (RTKLIB does the same with its rtkpost "Average of
     single position" option).
+
+    kinematic=True is RTKLIB's "kinematic" positioning mode (the
+    reference's rtk/rover.csv moving-rover dataset): one position
+    unknown per epoch, ambiguities still constant over the window —
+    they are what ties the track together. The per-epoch fixed
+    baselines land in `solution.baselines`.
     """
     by_t_rov = {round(e.t.week * 604800.0 + e.t.sec, 6): e
                 for e in rover.epochs}
@@ -171,7 +184,15 @@ def solve_baseline(rover: ObsData, base: ObsData,
     if base_xyz is None:
         base_xyz = _spp(eph_objs, t_obs[0], c1_b[0])
     base_xyz = np.asarray(base_xyz, float)
-    x_rov = _spp(eph_objs, t_obs[0], c1_r[0])
+
+    # Rover position unknowns: one shared (static) or one per epoch
+    # (kinematic). `x` is always [P, 3]; `pk[k]` maps epoch -> block.
+    P = K if kinematic else 1
+    pk = np.arange(K) if kinematic else np.zeros(K, np.intp)
+    if kinematic:
+        x = np.stack([_spp(eph_objs, t_obs[k], c1_r[k]) for k in range(K)])
+    else:
+        x = _spp(eph_objs, t_obs[0], c1_r[0])[None]
 
     # Reference satellite: highest elevation seen from the base.
     azel = neu2azel(ecef2neu(pos_b[0] - base_xyz,
@@ -191,35 +212,42 @@ def solve_baseline(rover: ObsData, base: ObsData,
 
     w_ph, w_cd = 1.0 / sigma_phase, 1.0 / sigma_code
     half = LAMBDA_L1 / 2.0
+    n_dd = K * (S - 1)
+    rows = np.arange(n_dd)  # row-major [k, j] -> ambiguity j
+
+    def model(x):
+        """DD model + geometry rows for the current positions [P, 3]."""
+        rho_r, e_r = _rho_e(x[pk][:, None, :], pos_r)
+        # ∂DD/∂x_rov: only the rover ranges depend on x.   [K, S-1, 3]
+        return dd(rho_r - rho_b), -(e_r[:, oth] - e_r[:, [ref]])
 
     amb = np.zeros(S - 1)
     A = None
     for _ in range(4):
-        rho_r, e_r = _rho_e(x_rov, pos_r)
-        dd_model = dd(rho_r - rho_b)
-        # ∂DD/∂x_rov: only the rover ranges depend on x.
-        H_geo = -(e_r[:, oth] - e_r[:, [ref]])          # [K, S-1, 3]
+        dd_model, H_geo = model(x)
         r_ph = (dd_phase - dd_model - half * amb)        # [K, S-1]
         r_cd = (dd_code - dd_model)
 
-        n_dd = K * (S - 1)
-        A = np.zeros((2 * n_dd, 3 + S - 1))
+        A = np.zeros((2 * n_dd, 3 * P + S - 1))
         b = np.empty(2 * n_dd)
-        A[:n_dd, :3] = H_geo.reshape(n_dd, 3) * w_ph
-        rows = np.arange(n_dd)  # row-major [k, j] -> ambiguity j
-        A[rows, 3 + rows % (S - 1)] = half * w_ph
+        # Scatter geometry rows into each epoch's position block (the
+        # static case collapses to two dense [n_dd, 3] column blocks).
+        cols = (3 * pk[:, None] + np.arange(3))[:, None, :]   # [K,1,3]
+        cols = np.broadcast_to(cols, (K, S - 1, 3)).reshape(n_dd, 3)
+        A[rows[:, None], cols] = H_geo.reshape(n_dd, 3) * w_ph
+        A[rows, 3 * P + rows % (S - 1)] = half * w_ph
         b[:n_dd] = r_ph.reshape(-1) * w_ph
-        A[n_dd:, :3] = H_geo.reshape(n_dd, 3) * w_cd
+        A[n_dd + rows[:, None], cols] = H_geo.reshape(n_dd, 3) * w_cd
         b[n_dd:] = r_cd.reshape(-1) * w_cd
         d, *_ = np.linalg.lstsq(A, b, rcond=None)
-        x_rov = x_rov + d[:3]
-        amb = amb + d[3:]
-        if np.linalg.norm(d[:3]) < 1e-4:
+        x = x + d[:3 * P].reshape(P, 3)
+        amb = amb + d[3 * P:]
+        if np.linalg.norm(d[:3 * P]) < 1e-4:
             break
 
-    x_float = x_rov.copy()
-    rho_r, e_r = _rho_e(x_float, pos_r)
-    res_float = dd_phase - dd(rho_r - rho_b) - half * amb
+    x_float = x.copy()
+    dd_model, _ = model(x_float)
+    res_float = dd_phase - dd_model - half * amb
     phase_rms = float(np.sqrt(np.mean(res_float ** 2)))
 
     # Integer least squares over the full float covariance (per-component
@@ -227,7 +255,7 @@ def solve_baseline(rover: ObsData, base: ObsData,
     # ambiguities are near-collinear, see receiver/ambiguity.py), then
     # RTKLIB's ratio validation between the two best lattice points.
     Q = np.linalg.inv(A.T @ A)
-    cands, dists = ils_solve(amb, Q[3:, 3:], n_cand=2)
+    cands, dists = ils_solve(amb, Q[3 * P:, 3 * P:], n_cand=2)
     a_int = cands[0].astype(np.float64)
     ratio = float(dists[1] / max(dists[0], 1e-12))
     amb_frac = float(np.max(np.abs(amb - a_int)))
@@ -235,26 +263,35 @@ def solve_baseline(rover: ObsData, base: ObsData,
 
     x_fix = x_float
     if fixed:
+        # Phase-only position back-substitution with the fixed
+        # ambiguities; epochs decouple, so solve [K, S-1, 3] jointly by
+        # block-diagonal lstsq per position block.
         x_fix = x_float.copy()
         for _ in range(3):
-            rho_r, e_r = _rho_e(x_fix, pos_r)
-            r_ph = dd_phase - dd(rho_r - rho_b) - half * a_int
-            H = -(e_r[:, oth] - e_r[:, [ref]])
-            d, *_ = np.linalg.lstsq(H.reshape(-1, 3), r_ph.reshape(-1),
-                                    rcond=None)
-            x_fix = x_fix + d
-            if np.linalg.norm(d) < 1e-5:
+            dd_model, H_geo = model(x_fix)
+            r_ph = dd_phase - dd_model - half * a_int
+            step = np.empty_like(x_fix)
+            for p in range(P):
+                sel = pk == p
+                Hp = H_geo[sel].reshape(-1, 3)
+                step[p], *_ = np.linalg.lstsq(Hp, r_ph[sel].reshape(-1),
+                                              rcond=None)
+            x_fix = x_fix + step
+            if np.linalg.norm(step) < 1e-5:
                 break
-        rho_r, _ = _rho_e(x_fix, pos_r)
-        res_fix = dd_phase - dd(rho_r - rho_b) - half * a_int
+        dd_model, _ = model(x_fix)
+        res_fix = dd_phase - dd_model - half * a_int
         phase_rms = float(np.sqrt(np.mean(res_fix ** 2)))
 
     return RtkSolution(
-        baseline=x_fix - base_xyz, baseline_float=x_float - base_xyz,
+        baseline=x_fix.mean(axis=0) - base_xyz,
+        baseline_float=x_float.mean(axis=0) - base_xyz,
         fixed=fixed, ref_prn=sats[ref],
         prns=np.array([sats[j] for j in oth], np.int32),
         amb_float=amb, amb_frac=amb_frac, ratio=ratio,
-        phase_rms=phase_rms, n_epochs=K, n_sats=S, base_xyz=base_xyz)
+        phase_rms=phase_rms, n_epochs=K, n_sats=S, base_xyz=base_xyz,
+        baselines=(x_fix - base_xyz) if kinematic else None,
+        times=sow if kinematic else None)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -267,6 +304,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("nav")
     ap.add_argument("--base-xyz", metavar="X,Y,Z",
                     help="known base ECEF position (default: single-point)")
+    ap.add_argument("--kinematic", action="store_true",
+                    help="moving rover: solve one position per epoch "
+                         "(RTKLIB kinematic mode; prints the NEU track)")
     args = ap.parse_args(argv)
 
     from gps_sdr_sim_tpu.models.ephemeris import (IonoUtc,
@@ -281,7 +321,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     base_xyz = None
     if args.base_xyz:
         base_xyz = np.array([float(v) for v in args.base_xyz.split(",")])
-    sol = solve_baseline(rover, base, eph_by_prn, base_xyz=base_xyz)
+    sol = solve_baseline(rover, base, eph_by_prn, base_xyz=base_xyz,
+                         kinematic=args.kinematic)
 
     neu = ecef2neu(sol.baseline, ltcmat(xyz2llh(sol.base_xyz)))
     print(f"epochs: {sol.n_epochs}   satellites: {sol.n_sats} "
@@ -297,6 +338,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     print(f"ambiguities (half cycles): ILS ratio {sol.ratio:.1f}, worst "
           f"float-fix gap {sol.amb_frac:.3f}  "
           f"DD phase residual rms {sol.phase_rms * 1e3:.1f} mm")
+    if sol.baselines is not None:
+        # The rtkpost .pos-style track (the reference's gndtrk.png).
+        print(f"\n{'SOW':>12s}  {'N[m]':>9s} {'E[m]':>9s} {'U[m]':>9s}")
+        lt = ltcmat(xyz2llh(sol.base_xyz))
+        for t, bl in zip(sol.times, sol.baselines):
+            n, e, u = ecef2neu(bl, lt)
+            print(f"{t:12.3f}  {n:+9.3f} {e:+9.3f} {u:+9.3f}")
     return 0
 
 

@@ -135,6 +135,67 @@ def test_dd_baseline_without_base_anchor(rinex_pair, eph_by_prn):
     assert err < 0.005, f"baseline error {err * 1e3:.2f} mm"
 
 
+def test_kinematic_rover_fixes_to_centimeters():
+    """RTKLIB 'kinematic' mode on a MOVING rover (the reference's actual
+    rtk/ dataset shape: static base + rover.csv trajectory, ground track
+    in rtk/rtklib/gndtrk.png). Base sits at the circle.csv center; the
+    per-epoch fixed baselines must land on the simulated trajectory at
+    the true reception instants to a few centimeters."""
+    from gps_sdr_sim_tpu.models.trajectory import read_user_motion
+
+    traj = read_user_motion("data/circle.csv")
+    center = traj.mean(axis=0)
+
+    tr_base = _capture(center)
+    cfg = ScenarioConfig(nav_file="data/brdc3540.14n",
+                         motion_file="data/circle.csv",
+                         duration=DURATION, samp_freq=FS, data_format=16)
+    scn = build_scenario(cfg)
+    buf = io.BytesIO()
+    run_simulation(scn, buf, batch_epochs=16, impl="xla",
+                   log=lambda s: None)
+    x = load_iq(buf.getvalue(), 16)
+    tr_rov = track(x, FS, acquire(x, FS, dopp_step=50.0))
+
+    fo_b, fo_r, fn = io.StringIO(), io.StringIO(), io.StringIO()
+    write_obs(fo_b, tr_base, interval=1.0, approx_xyz=center)
+    write_obs(fo_r, tr_rov, interval=1.0)
+    write_nav(fn, tr_base)
+
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".nav",
+                                     delete=False) as fp:
+        fp.write(fn.getvalue())
+        navp = fp.name
+    eph, _ = read_rinex_nav_all(navp, IonoUtc())
+    eph_by_prn = {k + 1: eph[0][k] for k in range(32) if eph[0][k].vflg}
+
+    sol = solve_baseline(read_rinex_obs(io.StringIO(fo_r.getvalue())),
+                         read_rinex_obs(io.StringIO(fo_b.getvalue())),
+                         eph_by_prn, base_xyz=center, kinematic=True)
+    assert sol.fixed and sol.ratio > 3.0, (sol.ratio, sol.amb_frac)
+    assert sol.baselines.shape == (sol.n_epochs, 3)
+    assert sol.phase_rms < 0.01
+
+    # The obs writer steers epochs onto whole seconds of the
+    # clock-corrected receiver time (receiver/rinex.py), so the time
+    # tags ARE true GPS reception instants — evaluate the trajectory
+    # there directly (the rover moves ~2 m/s; a raw-sample-clock tag
+    # would be ~12 ms = 2.5 cm off).
+    g0_sow = scn.g0.sec
+    errs = []
+    for t, bl in zip(sol.times, sol.baselines):
+        tt = (t - g0_sow) * 10.0  # trajectory rows are 0.1 s
+        i0 = int(tt)
+        frac = tt - i0
+        truth = traj[i0] * (1 - frac) + traj[min(i0 + 1,
+                                                 len(traj) - 1)] * frac
+        errs.append(np.linalg.norm(center + bl - truth))
+    errs = np.array(errs)
+    assert errs.max() < 0.03, f"worst kinematic error {errs.max():.3f} m"
+    assert errs.mean() < 0.02, f"mean kinematic error {errs.mean():.3f} m"
+
+
 def test_rtk_cli_reports_fix(rinex_pair, tmp_path, capsys):
     from gps_sdr_sim_tpu.receiver.rtk import main
 
