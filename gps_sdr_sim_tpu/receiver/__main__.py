@@ -31,6 +31,10 @@ def main(argv=None) -> int:
                     help="solve a position fix from the decoded ephemerides "
                          "(needs >=19 s of signal for subframes 1-3)")
     ap.add_argument("--dopp-step", type=float, default=50.0)
+    ap.add_argument("--dopp-max", type=float, default=5000.0,
+                    help="half-width of the acquisition Doppler search "
+                         "(Hz); spacecraft captures (rocket/satellite "
+                         "trajectories) need ~45000")
     ap.add_argument("--weighted", action="store_true",
                     help="C/N0-weighted least squares for the PVT fix")
     ap.add_argument("--rinex-obs", default="", metavar="FILE",
@@ -74,7 +78,8 @@ def main(argv=None) -> int:
     # FFT search needs complex64; fall to the int8-matmul (MXU) search on
     # backends without it. Results are interchangeable (tested).
     search = acquire if _complex_supported() else acquire_mxu
-    acq = search(x, ns.samp_freq, dopp_step=ns.dopp_step)
+    acq = search(x, ns.samp_freq, dopp_max=ns.dopp_max,
+                 dopp_step=ns.dopp_step)
     print("PRN  doppler[Hz]  code_phase[samp]  metric")
     for a in acq:
         if a.detected:

@@ -72,6 +72,7 @@ class RtkSolution:
     # then the mean over epochs.
     baselines: Optional[np.ndarray] = None   # [K, 3]
     times: Optional[np.ndarray] = None       # [K] SOW
+    n_slips: int = 0  # cycle slips detected (each opens a new ambiguity)
 
 
 def _sat_states(eph_objs: Sequence, t_obs: np.ndarray, c1: np.ndarray):
@@ -221,33 +222,69 @@ def solve_baseline(rover: ObsData, base: ObsData,
         # ∂DD/∂x_rov: only the rover ranges depend on x.   [K, S-1, 3]
         return dd(rho_r - rho_b), -(e_r[:, oth] - e_r[:, [ref]])
 
-    amb = np.zeros(S - 1)
-    A = None
-    for _ in range(4):
-        dd_model, H_geo = model(x)
-        r_ph = (dd_phase - dd_model - half * amb)        # [K, S-1]
-        r_cd = (dd_code - dd_model)
+    # Geometry columns: scatter rows into each epoch's position block
+    # (the static case collapses to two dense [n_dd, 3] column blocks).
+    cols = (3 * pk[:, None] + np.arange(3))[:, None, :]       # [K,1,3]
+    cols = np.broadcast_to(cols, (K, S - 1, 3)).reshape(n_dd, 3)
+    x0 = x.copy()
 
-        A = np.zeros((2 * n_dd, 3 * P + S - 1))
-        b = np.empty(2 * n_dd)
-        # Scatter geometry rows into each epoch's position block (the
-        # static case collapses to two dense [n_dd, 3] column blocks).
-        cols = (3 * pk[:, None] + np.arange(3))[:, None, :]   # [K,1,3]
-        cols = np.broadcast_to(cols, (K, S - 1, 3)).reshape(n_dd, 3)
-        A[rows[:, None], cols] = H_geo.reshape(n_dd, 3) * w_ph
-        A[rows, 3 * P + rows % (S - 1)] = half * w_ph
-        b[:n_dd] = r_ph.reshape(-1) * w_ph
-        A[n_dd + rows[:, None], cols] = H_geo.reshape(n_dd, 3) * w_cd
-        b[n_dd:] = r_cd.reshape(-1) * w_cd
-        d, *_ = np.linalg.lstsq(A, b, rcond=None)
-        x = x + d[:3 * P].reshape(P, 3)
-        amb = amb + d[3 * P:]
-        if np.linalg.norm(d[:3 * P]) < 1e-4:
-            break
+    def float_solve(amb_idx, n_amb):
+        """Iterated LS over positions + (possibly segmented) ambiguities.
 
-    x_float = x.copy()
-    dd_model, _ = model(x_float)
-    res_float = dd_phase - dd_model - half * amb
+        amb_idx[k, j] maps each DD observation to its ambiguity column —
+        one per satellite normally; a cycle slip opens a fresh column
+        from that epoch on (RTKLIB re-initializes the slipped ambiguity
+        the same way)."""
+        x = x0.copy()
+        amb = np.zeros(n_amb)
+        acol = 3 * P + amb_idx.reshape(-1)
+        for _ in range(4):
+            dd_model, H_geo = model(x)
+            r_ph = (dd_phase - dd_model - half * amb[amb_idx])  # [K, S-1]
+            r_cd = (dd_code - dd_model)
+
+            A = np.zeros((2 * n_dd, 3 * P + n_amb))
+            b = np.empty(2 * n_dd)
+            A[rows[:, None], cols] = H_geo.reshape(n_dd, 3) * w_ph
+            A[rows, acol] = half * w_ph
+            b[:n_dd] = r_ph.reshape(-1) * w_ph
+            A[n_dd + rows[:, None], cols] = H_geo.reshape(n_dd, 3) * w_cd
+            b[n_dd:] = r_cd.reshape(-1) * w_cd
+            d, *_ = np.linalg.lstsq(A, b, rcond=None)
+            x = x + d[:3 * P].reshape(P, 3)
+            amb = amb + d[3 * P:]
+            if np.linalg.norm(d[:3 * P]) < 1e-4:
+                break
+        dd_model, _ = model(x)
+        return x, amb, A, dd_phase - dd_model - half * amb[amb_idx]
+
+    amb_idx = np.broadcast_to(np.arange(S - 1), (K, S - 1)).copy()
+    x_float, amb, A, res_float = float_solve(amb_idx, S - 1)
+
+    # Cycle-slip detection on the float residual series: a slip is a
+    # step of >= lambda/2 ~ 9.5 cm in one satellite's DD residual; the
+    # slip-free epoch-to-epoch residual scatter is millimetric, so a
+    # 4 cm step test separates them cleanly. Each detected slip opens a
+    # new ambiguity column from that epoch on and the float solution is
+    # recomputed (one pass detects all steps at once).
+    n_slips = 0
+    if K >= 3:
+        steps = np.abs(np.diff(res_float, axis=0)) > 0.04
+        if steps.any():
+            amb_idx = np.zeros((K, S - 1), np.intp)
+            n_amb = 0
+            for j in range(S - 1):
+                cur = n_amb
+                n_amb += 1
+                amb_idx[0, j] = cur
+                for k in range(1, K):
+                    if steps[k - 1, j]:
+                        cur = n_amb
+                        n_amb += 1
+                        n_slips += 1
+                    amb_idx[k, j] = cur
+            x_float, amb, A, res_float = float_solve(amb_idx, n_amb)
+
     phase_rms = float(np.sqrt(np.mean(res_float ** 2)))
 
     # Integer least squares over the full float covariance (per-component
@@ -267,9 +304,10 @@ def solve_baseline(rover: ObsData, base: ObsData,
         # ambiguities; epochs decouple, so solve [K, S-1, 3] jointly by
         # block-diagonal lstsq per position block.
         x_fix = x_float.copy()
+        a_kj = a_int[amb_idx]                            # [K, S-1]
         for _ in range(3):
             dd_model, H_geo = model(x_fix)
-            r_ph = dd_phase - dd_model - half * a_int
+            r_ph = dd_phase - dd_model - half * a_kj
             step = np.empty_like(x_fix)
             for p in range(P):
                 sel = pk == p
@@ -280,7 +318,7 @@ def solve_baseline(rover: ObsData, base: ObsData,
             if np.linalg.norm(step) < 1e-5:
                 break
         dd_model, _ = model(x_fix)
-        res_fix = dd_phase - dd_model - half * a_int
+        res_fix = dd_phase - dd_model - half * a_kj
         phase_rms = float(np.sqrt(np.mean(res_fix ** 2)))
 
     return RtkSolution(
@@ -291,7 +329,7 @@ def solve_baseline(rover: ObsData, base: ObsData,
         amb_float=amb, amb_frac=amb_frac, ratio=ratio,
         phase_rms=phase_rms, n_epochs=K, n_sats=S, base_xyz=base_xyz,
         baselines=(x_fix - base_xyz) if kinematic else None,
-        times=sow if kinematic else None)
+        times=sow if kinematic else None, n_slips=n_slips)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -338,6 +376,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     print(f"ambiguities (half cycles): ILS ratio {sol.ratio:.1f}, worst "
           f"float-fix gap {sol.amb_frac:.3f}  "
           f"DD phase residual rms {sol.phase_rms * 1e3:.1f} mm")
+    if sol.n_slips:
+        print(f"cycle slips detected: {sol.n_slips} "
+              f"(ambiguities re-initialized at the slip epochs)")
     if sol.baselines is not None:
         # The rtkpost .pos-style track (the reference's gndtrk.png).
         print(f"\n{'SOW':>12s}  {'N[m]':>9s} {'E[m]':>9s} {'U[m]':>9s}")

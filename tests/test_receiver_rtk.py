@@ -135,6 +135,31 @@ def test_dd_baseline_without_base_anchor(rinex_pair, eph_by_prn):
     assert err < 0.005, f"baseline error {err * 1e3:.2f} mm"
 
 
+def test_cycle_slip_is_detected_and_refixed(rinex_pair, eph_by_prn):
+    """Cycle slips open fresh ambiguities (RTKLIB re-initialization):
+    inject half-cycle slips into two satellites mid-window; the solver
+    must report them and still fix the baseline to millimeters."""
+    obs_b, obs_r, _ = rinex_pair
+    rover = read_rinex_obs(io.StringIO(obs_r))
+    base = read_rinex_obs(io.StringIO(obs_b))
+    clean = solve_baseline(rover, base, eph_by_prn, base_xyz=BASE)
+    assert clean.n_slips == 0
+
+    # Slip two non-reference satellites (a reference-satellite slip
+    # shows in every DD series instead).
+    v1, v2 = int(clean.prns[0]), int(clean.prns[1])
+    for ep in rover.epochs[10:]:
+        ep.obs[v1]["L1"] += 1.0      # +2 half cycles
+    for ep in rover.epochs[15:]:
+        ep.obs[v2]["L1"] -= 3.5      # the Costas 180-deg half-cycle case
+    sol = solve_baseline(rover, base, eph_by_prn, base_xyz=BASE)
+    assert sol.n_slips == 2
+    assert sol.fixed, (sol.ratio, sol.amb_frac)
+    err = np.linalg.norm(sol.baseline - (ROVER - BASE))
+    assert err < 0.005, f"post-slip fixed error {err * 1e3:.2f} mm"
+    assert sol.phase_rms < 0.005
+
+
 def test_kinematic_rover_fixes_to_centimeters():
     """RTKLIB 'kinematic' mode on a MOVING rover (the reference's actual
     rtk/ dataset shape: static base + rover.csv trajectory, ground track
