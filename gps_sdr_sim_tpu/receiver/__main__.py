@@ -106,7 +106,8 @@ def main(argv=None) -> int:
         sol = None
         if ns.pvt:
             from gps_sdr_sim_tpu.constants import R2D
-            from gps_sdr_sim_tpu.receiver.pvt import observables, solve
+            from gps_sdr_sim_tpu.receiver.pvt import (observables, solve,
+                                                      solve_velocity)
             from gps_sdr_sim_tpu.utils.coord import xyz2llh
 
             obs, ionoutc = observables(res, frames=frames)
@@ -120,6 +121,18 @@ def main(argv=None) -> int:
             print(f"  clock bias {sol.clock_bias * 1e3:.3f} ms, "
                   f"max residual "
                   f"{float(np.max(np.abs(sol.residuals))):.2f} m")
+            try:
+                vsol = solve_velocity(obs, sol)
+            except ValueError:
+                vsol = None
+            if vsol is not None:
+                from gps_sdr_sim_tpu.utils.coord import ecef2neu, ltcmat
+
+                vneu = ecef2neu(vsol.vel, ltcmat(llh))
+                print(f"  velocity NEU {vneu[0]:+.3f} {vneu[1]:+.3f} "
+                      f"{vneu[2]:+.3f} m/s  speed "
+                      f"{float(np.linalg.norm(vsol.vel)):.3f} m/s  "
+                      f"clock drift {vsol.clock_drift * 1e9:+.2f} ns/s")
 
         if ns.rinex_obs:
             from gps_sdr_sim_tpu.receiver.rinex import write_obs

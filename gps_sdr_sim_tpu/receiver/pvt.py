@@ -34,7 +34,8 @@ class ChannelObs:
     prn: int
     tx_time: float  # SV transmit time (seconds of week, SV clock)
     eph: object     # decoded Ephemeris
-    cn0: float = float("nan")  # estimated C/N0 (dB-Hz) for weighting
+    cn0: float = float("nan")        # estimated C/N0 (dB-Hz) for weighting
+    doppler_hz: float = float("nan")  # tracked carrier Doppler at epoch m
 
 
 @dataclass
@@ -44,6 +45,14 @@ class PvtSolution:
     residuals: np.ndarray  # post-fit pseudorange residuals (m)
     n_sats: int
     iterations: int
+
+
+@dataclass
+class VelSolution:
+    vel: np.ndarray        # ECEF m/s
+    clock_drift: float     # receiver clock drift (s/s)
+    residuals: np.ndarray  # post-fit range-rate residuals (m/s)
+    n_sats: int
 
 
 def _wrapdiff_arr(d: np.ndarray) -> np.ndarray:
@@ -178,8 +187,14 @@ def observables(res: TrackResult, m: Optional[int] = None,
         cph = res.code_phase[:, c]
         anchor = _bit_edge_chips(res.prompt[:, c], off, cph)
         tx = transmit_time(off, cph, sbfs[0], m, chips_at_off=anchor)
+        # Doppler observable: mean of the PLL frequency estimate over the
+        # trailing 0.1 s (the signal's carrier frequency is constant per
+        # 0.1 s epoch — gpssim.c:2156-2177 — so the window average is a
+        # phase difference across one epoch, not a smearing filter).
+        dop = float(np.mean(res.doppler[max(0, m - 99):m + 1, c]))
         out.append(ChannelObs(prn=int(prn), tx_time=tx, eph=eph,
-                              cn0=cn0_estimate(res.prompt[:, c])))
+                              cn0=cn0_estimate(res.prompt[:, c]),
+                              doppler_hz=dop))
     return out, ionoutc
 
 
@@ -263,3 +278,42 @@ def solve(obs: Sequence[ChannelObs], ionoutc=None,
 
     return PvtSolution(xyz=x, clock_bias=b / SPEED_OF_LIGHT,
                        residuals=res, n_sats=len(obs), iterations=iters)
+
+
+def solve_velocity(obs: Sequence[ChannelObs],
+                   sol: PvtSolution) -> VelSolution:
+    """Receiver velocity + clock drift from the tracked carrier Doppler.
+
+    The signal's Doppler encodes the generator's pseudorange rate
+    (gpssim.c:1324-1327: f_carr = -dRho/dt / lambda, where the pseudorange
+    carries the -c*dtsv SV-clock term, gpssim.c:1288), so the measurement
+    model at the converged position fix is
+
+        -lambda * f_d = (v_sat - v_rx) . e  -  c*dtsv_dot  +  c*bdot
+
+    which is LINEAR in the unknowns (v_rx, c*bdot) — one least-squares
+    solve, no iteration. Sub-cm/s effects (Sagnac rate, iono rate) are
+    ignored; the generator's 0.1 s backward-difference Doppler skews the
+    observable by ~a*0.05 s for an accelerating receiver, which bounds the
+    accuracy of this solve at a few cm/s on the circle trajectory.
+    """
+    use = [o for o in obs if np.isfinite(o.doppler_hz)]
+    if len(use) < 4:
+        raise ValueError(f"need >=4 Doppler observables, got {len(use)}")
+    lam = SPEED_OF_LIGHT / 1575.42e6
+
+    eph = eph_field_arrays([o.eph for o in use])
+    tx_sv = np.array([o.tx_time for o in use])
+    _, _, clk = satpos(eph, tx_sv)
+    pos, vel, clk = satpos(eph, tx_sv - clk[..., 0])
+
+    los = pos - sol.xyz
+    e = los / np.linalg.norm(los, axis=1)[:, None]
+    f_d = np.array([o.doppler_hz for o in use])
+    # y = measured range rate minus the satellite's own contributions.
+    y = (-lam * f_d - np.sum(vel * e, axis=1)
+         + SPEED_OF_LIGHT * clk[..., 1])
+    H = np.concatenate([-e, np.ones((len(use), 1))], axis=1)
+    d, *_ = np.linalg.lstsq(H, y, rcond=None)
+    return VelSolution(vel=d[:3], clock_drift=d[3] / SPEED_OF_LIGHT,
+                       residuals=y - H @ d, n_sats=len(use))

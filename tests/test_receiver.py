@@ -161,6 +161,21 @@ def test_pvt_position_fix_matches_simulated_location(pvt_solution):
     assert np.max(np.abs(sol.residuals)) < 5.0
 
 
+def test_velocity_solution_is_zero_for_static_receiver(pvt_solution):
+    """Doppler LS velocity (solve_velocity) on a static capture: the
+    speed must be centimeters/s and the clock drift ~0 (the simulation
+    has no receiver oscillator)."""
+    from gps_sdr_sim_tpu.receiver.pvt import solve_velocity
+
+    obs, _ionoutc, sol = pvt_solution
+    vsol = solve_velocity(obs, sol)
+    speed = np.linalg.norm(vsol.vel)
+    assert vsol.n_sats >= 4
+    assert speed < 0.05, f"static speed {speed:.3f} m/s"
+    assert abs(vsol.clock_drift) < 1e-9
+    assert np.max(np.abs(vsol.residuals)) < 0.05
+
+
 def test_decoded_ephemeris_reencodes_identically(pvt_solution):
     """decode_ephemeris must be the exact inverse of eph2sbf."""
     from gps_sdr_sim_tpu.models.ephemeris import IonoUtc, read_rinex_nav_all
@@ -262,6 +277,21 @@ def test_rover_pvt_fix_on_trajectory():
     assert sol.n_sats >= 4
     assert err < 10.0, f"rover position error {err:.2f} m"
     assert np.max(np.abs(sol.residuals)) < 5.0
+
+    # Velocity closure: the Doppler LS solution must land on the
+    # trajectory's finite-difference velocity. The generator's Doppler is
+    # itself a 0.1 s backward difference (gpssim.c:1324), so centered
+    # truth at t - 0.05 s and a tolerance covering the circle's
+    # centripetal acceleration over that skew (~0.7 m/s^2 * 0.05 s).
+    from gps_sdr_sim_tpu.receiver.pvt import solve_velocity
+
+    vsol = solve_velocity(obs, sol)
+    tc = t - 0.05
+    j0 = int(tc * 10)
+    v_truth = (traj[min(j0 + 1, len(traj) - 1)] - traj[j0]) * 10.0
+    verr = np.linalg.norm(vsol.vel - v_truth)
+    assert verr < 0.25, f"rover velocity error {verr:.3f} m/s " \
+                        f"(speed {np.linalg.norm(vsol.vel):.2f})"
 
 
 def test_cn0_estimates_are_plausible(tracked):
