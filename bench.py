@@ -143,6 +143,22 @@ def main() -> int:
     # for noisy shared hardware). The reference's `make time` covers all
     # three formats (-b 1/8/16, reference Makefile:32-35); SC16 is the
     # headline, the other formats get fewer passes.
+    def one_pass_retry(fmt, retries=2):
+        # The tunneled time-shared device surfaces transient INTERNAL/
+        # UNIMPLEMENTED/UNAVAILABLE bursts (CLAUDE.md); a burst mid-pass
+        # must cost one retried pass, not the whole benchmark artifact.
+        for attempt in range(retries + 1):
+            try:
+                return one_pass(fmt)
+            except Exception as ex:
+                if attempt >= retries or type(ex).__name__ not in (
+                        "XlaRuntimeError", "JaxRuntimeError"):
+                    raise
+                print(f"transient device error, retrying pass: "
+                      f"{str(ex)[:120]}", file=sys.stderr)
+                time.sleep(2.0 + 3.0 * attempt)
+        raise AssertionError("unreachable")
+
     goldens = _golden_checksums()
     results = {}
     passes = {16: 3, 8: 2, 1: 2}
@@ -151,7 +167,7 @@ def main() -> int:
         csum = None
         for i in range(passes[fmt] + 1):
             label = "warmup" if i == 0 else f"measure{i}"
-            wall, csum = one_pass(fmt)
+            wall, csum = one_pass_retry(fmt)
             if i > 0:
                 best = min(best, wall)
             print(f"sc{fmt:02d} {label}: {wall:.2f} s wall, "

@@ -37,6 +37,10 @@ def main(argv=None) -> int:
                          "trajectories) need ~45000")
     ap.add_argument("--weighted", action="store_true",
                     help="C/N0-weighted least squares for the PVT fix")
+    ap.add_argument("--pvt-track", type=float, default=0.0, metavar="SEC",
+                    help="with --pvt: also solve a per-epoch single-point "
+                         "position/velocity track at this interval (the "
+                         "rtkpost 'single'-mode .pos analogue)")
     ap.add_argument("--rinex-obs", default="", metavar="FILE",
                     help="write RINEX 2.11 observations (C1 L1 D1 S1, the "
                          "software RTKCONV of the reference's rtk/ flow)")
@@ -133,6 +137,26 @@ def main(argv=None) -> int:
                       f"{vneu[2]:+.3f} m/s  speed "
                       f"{float(np.linalg.norm(vsol.vel)):.3f} m/s  "
                       f"clock drift {vsol.clock_drift * 1e9:+.2f} ns/s")
+
+            if ns.pvt_track > 0:
+                # Per-epoch single-point track (rtkpost 'single' mode):
+                # one independent pseudorange solve per epoch, SOW-stamped
+                # from the solution's own reception time.
+                step = max(1, int(round(ns.pvt_track * 1000.0)))
+                print(f"\n{'SOW':>12s}  {'lat[deg]':>12s} {'lon[deg]':>13s}"
+                      f" {'h[m]':>8s}  {'speed[m/s]':>10s}  sats")
+                for m in range(1000, res.prompt.shape[0] - 1, step):
+                    try:
+                        obs_m, _ = observables(res, m=m, frames=frames)
+                        s = solve(obs_m, ionoutc, cn0_weighted=ns.weighted)
+                        v = solve_velocity(obs_m, s)
+                    except (ValueError, np.linalg.LinAlgError):
+                        continue
+                    lm = xyz2llh(s.xyz)
+                    print(f"{s.t_gps:12.3f}  {lm[0] * R2D:12.8f} "
+                          f"{lm[1] * R2D:13.8f} {lm[2]:8.2f}  "
+                          f"{float(np.linalg.norm(v.vel)):10.3f}  "
+                          f"{s.n_sats:4d}")
 
         if ns.rinex_obs:
             from gps_sdr_sim_tpu.receiver.rinex import write_obs

@@ -45,6 +45,7 @@ class PvtSolution:
     residuals: np.ndarray  # post-fit pseudorange residuals (m)
     n_sats: int
     iterations: int
+    t_gps: float = float("nan")  # reception time of the epoch (GPS SOW)
 
 
 @dataclass
@@ -277,7 +278,8 @@ def solve(obs: Sequence[ChannelObs], ionoutc=None,
         iters += it2
 
     return PvtSolution(xyz=x, clock_bias=b / SPEED_OF_LIGHT,
-                       residuals=res, n_sats=len(obs), iterations=iters)
+                       residuals=res, n_sats=len(obs), iterations=iters,
+                       t_gps=t_rx - b / SPEED_OF_LIGHT)
 
 
 def solve_velocity(obs: Sequence[ChannelObs],

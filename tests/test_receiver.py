@@ -293,6 +293,24 @@ def test_rover_pvt_fix_on_trajectory():
     assert verr < 0.25, f"rover velocity error {verr:.3f} m/s " \
                         f"(speed {np.linalg.norm(vsol.vel):.2f})"
 
+    # Per-epoch single-point track (--pvt-track mode): each independent
+    # solve lands on the trajectory at its own reception instant, with
+    # the solution's own SOW stamp locating the truth point.
+    from gps_sdr_sim_tpu.receiver.pvt import channel_frames
+
+    frames = channel_frames(res)
+    t0_sow = sol.t_gps - t  # capture-start SOW implied by the anchor fix
+    for mk in (8000, 16000, 24000):
+        obs_k, _ = observables(res, m=mk, frames=frames)
+        s_k = solve(obs_k, ionoutc)
+        tk = s_k.t_gps - t0_sow
+        assert abs(tk - (0.1 + mk / 1000.0)) < 5e-3  # SOW stamp sanity
+        i0 = int(tk * 10)
+        frac = tk * 10 - i0
+        tru = traj[i0] * (1 - frac) + traj[min(i0 + 1, len(traj) - 1)] * frac
+        ek = np.linalg.norm(s_k.xyz - tru)
+        assert ek < 10.0, f"track point at m={mk}: {ek:.2f} m"
+
 
 def test_cn0_estimates_are_plausible(tracked):
     """NWPR C/N0 must be finite and ordered like the channel gains."""
