@@ -69,6 +69,8 @@ def main(argv=None) -> int:
     if ns.pvt and ns.track <= 0:
         ap.error("--pvt requires --track SECONDS (>=19 s of signal to "
                  "decode subframes 1-3)")
+    if ns.pvt_track > 0 and not ns.pvt:
+        ap.error("--pvt-track requires --pvt")
 
     from gps_sdr_sim_tpu.receiver import (acquire, acquire_mxu, load_iq,
                                           track)
@@ -110,11 +112,13 @@ def main(argv=None) -> int:
         sol = None
         if ns.pvt:
             from gps_sdr_sim_tpu.constants import R2D
-            from gps_sdr_sim_tpu.receiver.pvt import (observables, solve,
-                                                      solve_velocity)
+            from gps_sdr_sim_tpu.receiver.pvt import (observables,
+                                                      prepare_observables,
+                                                      solve, solve_velocity)
             from gps_sdr_sim_tpu.utils.coord import xyz2llh
 
-            obs, ionoutc = observables(res, frames=frames)
+            prep = prepare_observables(res, frames)
+            obs, ionoutc = observables(res, prep=prep)
             sol = solve(obs, ionoutc, cn0_weighted=ns.weighted)
             llh = xyz2llh(sol.xyz)
             print(f"\nPVT fix ({sol.n_sats} sats, {sol.iterations} iter):")
@@ -147,7 +151,7 @@ def main(argv=None) -> int:
                       f" {'h[m]':>8s}  {'speed[m/s]':>10s}  sats")
                 for m in range(1000, res.prompt.shape[0] - 1, step):
                     try:
-                        obs_m, _ = observables(res, m=m, frames=frames)
+                        obs_m, _ = observables(res, m=m, prep=prep)
                         s = solve(obs_m, ionoutc, cn0_weighted=ns.weighted)
                         v = solve_velocity(obs_m, s)
                     except (ValueError, np.linalg.LinAlgError):

@@ -29,40 +29,61 @@ import numpy as np
 
 def _lll(B: np.ndarray, delta: float = 0.75) -> Tuple[np.ndarray,
                                                       np.ndarray]:
-    """LLL-reduce the columns of B; returns (B·U, U) with U unimodular."""
+    """LLL-reduce the columns of B; returns (B·U, U) with U unimodular.
+
+    The Gram-Schmidt state (mu, ‖b*‖²) is maintained incrementally under
+    size-reduction and swap (Cohen, Alg. 2.6.3) — O(n) per update instead
+    of a full O(n³) re-orthogonalization, which matters when cycle slips
+    inflate the ambiguity dimension (receiver/rtk.py)."""
     B = B.astype(np.float64).copy()
     n = B.shape[1]
     U = np.eye(n, dtype=np.int64)
 
-    def gram(B):
-        """Gram-Schmidt: orthogonal norms² and projection coefficients."""
-        Bs = np.zeros_like(B)
-        mu = np.zeros((n, n))
-        nrm = np.zeros(n)
-        for i in range(n):
-            v = B[:, i].copy()
-            for j in range(i):
-                mu[i, j] = (B[:, i] @ Bs[:, j]) / nrm[j]
-                v -= mu[i, j] * Bs[:, j]
-            Bs[:, i] = v
-            nrm[i] = v @ v
-        return nrm, mu
+    # Initial Gram-Schmidt: mu[i, j<i] projections, nrm[i] = ‖b*_i‖².
+    Bs = np.zeros_like(B)
+    mu = np.zeros((n, n))
+    nrm = np.zeros(n)
+    for i in range(n):
+        v = B[:, i].copy()
+        for j in range(i):
+            mu[i, j] = (B[:, i] @ Bs[:, j]) / nrm[j]
+            v -= mu[i, j] * Bs[:, j]
+        Bs[:, i] = v
+        nrm[i] = v @ v
+
+    def red(k, j):
+        """Size-reduce b_k against b_j: b*_i are all invariant; only
+        row k of mu changes (and only columns <= j)."""
+        q = int(round(mu[k, j]))
+        if q:
+            B[:, k] -= q * B[:, j]
+            U[:, k] -= q * U[:, j]
+            mu[k, :j] -= q * mu[j, :j]
+            mu[k, j] -= q
 
     k = 1
     while k < n:
-        nrm, mu = gram(B)
-        for j in range(k - 1, -1, -1):
-            q = int(round(mu[k, j]))
-            if q:
-                B[:, k] -= q * B[:, j]
-                U[:, k] -= q * U[:, j]
-                nrm, mu = gram(B)
-        if nrm[k] >= (delta - mu[k, k - 1] ** 2) * nrm[k - 1]:
-            k += 1
-        else:
+        red(k, k - 1)
+        if nrm[k] < (delta - mu[k, k - 1] ** 2) * nrm[k - 1]:
+            # Swap b_{k-1} <-> b_k; closed-form GS update (only rows/
+            # columns k-1, k of mu and those two norms change).
+            m = mu[k, k - 1]
+            bp = nrm[k] + m * m * nrm[k - 1]
+            mu_new = m * nrm[k - 1] / bp
+            nrm[k] = nrm[k - 1] * nrm[k] / bp
+            nrm[k - 1] = bp
             B[:, [k - 1, k]] = B[:, [k, k - 1]]
             U[:, [k - 1, k]] = U[:, [k, k - 1]]
+            mu[[k - 1, k], :k - 1] = mu[[k, k - 1], :k - 1]
+            t = mu[k + 1:, k].copy()
+            mu[k + 1:, k] = mu[k + 1:, k - 1] - m * t
+            mu[k + 1:, k - 1] = t + mu_new * mu[k + 1:, k]
+            mu[k, k - 1] = mu_new
             k = max(k - 1, 1)
+        else:
+            for j in range(k - 2, -1, -1):
+                red(k, j)
+            k += 1
     return B, U
 
 

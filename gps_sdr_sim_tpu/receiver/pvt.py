@@ -19,8 +19,8 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from gps_sdr_sim_tpu.constants import (CA_SEQ_LEN, CODE_FREQ, OMEGA_EARTH,
-                                       SPEED_OF_LIGHT)
+from gps_sdr_sim_tpu.constants import (CA_SEQ_LEN, CODE_FREQ, LAMBDA_L1,
+                                       OMEGA_EARTH, SPEED_OF_LIGHT)
 from gps_sdr_sim_tpu.models.ephemeris import eph_field_arrays
 from gps_sdr_sim_tpu.models.orbit import satpos
 from gps_sdr_sim_tpu.receiver.ephdec import decode_sets
@@ -147,24 +147,32 @@ def channel_frames(res: TrackResult):
     return out
 
 
-def observables(res: TrackResult, m: Optional[int] = None,
-                frames=None) -> "tuple[List[ChannelObs], object]":
-    """Decode every channel and form its transmit-time observable.
+@dataclass
+class ChannelPrep:
+    """Per-channel epoch-invariant decode products (reused across the
+    per-epoch solves of a --pvt-track run instead of being recomputed
+    at every track epoch)."""
+    off: int
+    sbfs: list
+    sets: list
+    anchor: float  # _bit_edge_chips at off
+    cn0: float
 
-    Returns (channels, ionoutc): ionoutc is decoded from the first
+
+def prepare_observables(res: TrackResult, frames=None):
+    """One-time decode shared by every measurement epoch.
+
+    Returns (preps [C], ionoutc): ionoutc is decoded from the first
     subframe 4 page 18 seen on any channel (None when absent, e.g. short
     captures or iono-disabled scenarios).
     """
     from gps_sdr_sim_tpu.receiver.ephdec import decode_ionoutc
 
-    n_ms = res.prompt.shape[0]
-    if m is None:
-        m = n_ms - 2
     if frames is None:
         frames = channel_frames(res)
-    out = []
+    preps = []
     ionoutc = None
-    for c, prn in enumerate(res.prns):
+    for c in range(res.prompt.shape[1]):
         off, _bits, sbfs = frames[c]
         sets = decode_sets(sbfs)
         if ionoutc is None:
@@ -173,29 +181,53 @@ def observables(res: TrackResult, m: Optional[int] = None,
                     ionoutc = decode_ionoutc(s)  # None for non-18 pages
                     if ionoutc is not None:
                         break
-        if not sets:
+        anchor = (_bit_edge_chips(res.prompt[:, c], off,
+                                  res.code_phase[:, c]) if sets else 0.0)
+        preps.append(ChannelPrep(off=off, sbfs=sbfs, sets=sets,
+                                 anchor=anchor,
+                                 cn0=cn0_estimate(res.prompt[:, c])))
+    return preps, ionoutc
+
+
+def observables(res: TrackResult, m: Optional[int] = None, frames=None,
+                prep=None) -> "tuple[List[ChannelObs], object]":
+    """Decode every channel and form its transmit-time observable at
+    tracking block m (default: the last fully-tracked block).
+
+    Pass `prep` (from prepare_observables) when solving many epochs of
+    the same capture — the decode/C/N0/bit-edge work is epoch-invariant.
+    """
+    n_ms = res.prompt.shape[0]
+    if m is None:
+        m = n_ms - 2
+    if prep is None:
+        prep = prepare_observables(res, frames)
+    preps, ionoutc = prep
+    out = []
+    for c, prn in enumerate(res.prns):
+        p = preps[c]
+        if not p.sets:
             continue
         # The data set in force at the measurement epoch: the latest set
         # fully received before block m (a capture crossing a 2 h cutover
         # decodes both; the pre-cutover set anchors earlier epochs).
-        bit_m = (m - off) // 20
-        eph = sets[0].eph
-        for es in sets:
+        bit_m = (m - p.off) // 20
+        eph = p.sets[0].eph
+        for es in p.sets:
             if es.last_bit <= bit_m:
                 eph = es.eph
         if eph.svhlth:
             continue
-        cph = res.code_phase[:, c]
-        anchor = _bit_edge_chips(res.prompt[:, c], off, cph)
-        tx = transmit_time(off, cph, sbfs[0], m, chips_at_off=anchor)
+        tx = transmit_time(p.off, res.code_phase[:, c], p.sbfs[0], m,
+                           chips_at_off=p.anchor)
         # Doppler observable: mean of the PLL frequency estimate over the
-        # trailing 0.1 s (the signal's carrier frequency is constant per
-        # 0.1 s epoch — gpssim.c:2156-2177 — so the window average is a
-        # phase difference across one epoch, not a smearing filter).
-        dop = float(np.mean(res.doppler[max(0, m - 99):m + 1, c]))
+        # 0.1 s generator epoch containing block m (the signal's carrier
+        # frequency is constant per epoch — gpssim.c:2156-2177 — so the
+        # aligned window averages one constant, mixing no two epochs).
+        e0 = (m // 100) * 100
+        dop = float(np.mean(res.doppler[e0:min(e0 + 100, n_ms), c]))
         out.append(ChannelObs(prn=int(prn), tx_time=tx, eph=eph,
-                              cn0=cn0_estimate(res.prompt[:, c]),
-                              doppler_hz=dop))
+                              cn0=p.cn0, doppler_hz=dop))
     return out, ionoutc
 
 
@@ -302,7 +334,7 @@ def solve_velocity(obs: Sequence[ChannelObs],
     use = [o for o in obs if np.isfinite(o.doppler_hz)]
     if len(use) < 4:
         raise ValueError(f"need >=4 Doppler observables, got {len(use)}")
-    lam = SPEED_OF_LIGHT / 1575.42e6
+    lam = LAMBDA_L1
 
     eph = eph_field_arrays([o.eph for o in use])
     tx_sv = np.array([o.tx_time for o in use])

@@ -13,7 +13,8 @@ channels, so the whole RTK-style validation chain runs hardware-free:
    with RTKCONV's sign convention (dL1/dt = -D1, phase moves with range;
    verified against rtk/base.obs: G23 L1 -9814.989 -> -10343.618 over
    one second while D1 = +529);
- - D1: the tracked carrier Doppler (positive = approaching);
+ - D1: the tracked carrier Doppler (positive = approaching), averaged
+   over a 0.1 s window centered on the observation block;
  - S1: NWPR C/N0 over a window around each epoch.
 """
 
@@ -34,8 +35,6 @@ from gps_sdr_sim_tpu.utils.gpstime import GpsTime, gps2date
 # cannot convey the 1024-week rollover count); era 1 = weeks 1024..2047
 # (1999-08 .. 2019-04), right for the bundled 2014 ephemerides.
 DEFAULT_ERA = 1
-
-_L1_HZ = 1575.42e6
 
 
 def _hdr(value: str, label: str) -> str:
@@ -103,7 +102,20 @@ def obs_epochs(res: TrackResult, frames=None, interval: float = 1.0):
         # preserves the half-integer double-difference ambiguity
         # structure receiver/rtk.py exploits. dL1/dt = -D1 (RTKCONV).
         L1[:, j] = -phase[ms]
-        D1[:, j] = dop[ms]
+        # D1: mean PLL Doppler over a 0.1 s window CENTERED on each
+        # observation block — the unbiased instantaneous Doppler at the
+        # epoch (an epoch-aligned window's mean sits at the window
+        # center, up to 50 ms away, which under rover dynamics of ~2 Hz/s
+        # Doppler rate skews Doppler-based slip prediction by ~0.1 cycle).
+        # A hardware receiver's reported Doppler is likewise loop-
+        # filtered; the raw per-block NCO frequency carries ~Hz
+        # proportional-term jitter (measured: 0.99-cycle worst-case
+        # trapezoid misprediction raw vs 0.07 smoothed) that would poison
+        # rtk.dopp_slips.
+        e0 = np.maximum(ms - 50, 0)
+        e1 = np.minimum(ms + 50, n_ms)
+        csum = np.concatenate([[0.0], np.cumsum(dop)])
+        D1[:, j] = (csum[e1] - csum[e0]) / (e1 - e0)
         for k, m in enumerate(ms):
             lo, hi = max(0, m - 500), min(n_ms, m + 500)
             S1[k, j] = cn0_estimate(res.prompt[lo:hi, c])

@@ -39,17 +39,14 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from gps_sdr_sim_tpu.constants import (OMEGA_EARTH, R2D, SPEED_OF_LIGHT)
+from gps_sdr_sim_tpu.constants import (LAMBDA_L1, OMEGA_EARTH, R2D,
+                                       SPEED_OF_LIGHT)
 from gps_sdr_sim_tpu.models.ephemeris import eph_field_arrays
 from gps_sdr_sim_tpu.models.orbit import satpos
 from gps_sdr_sim_tpu.receiver.ambiguity import ils_solve
 from gps_sdr_sim_tpu.receiver.rinexobs import ObsData
 from gps_sdr_sim_tpu.utils.coord import (ecef2neu, ltcmat, neu2azel,
                                          xyz2llh)
-
-_L1_HZ = 1575.42e6
-LAMBDA_L1 = SPEED_OF_LIGHT / _L1_HZ
-
 
 @dataclass
 class RtkSolution:
@@ -72,7 +69,32 @@ class RtkSolution:
     # then the mean over epochs.
     baselines: Optional[np.ndarray] = None   # [K, 3]
     times: Optional[np.ndarray] = None       # [K] SOW
-    n_slips: int = 0  # cycle slips detected (each opens a new ambiguity)
+    # Cycle slips detected (Doppler check: physical per-satellite events;
+    # residual fallback: per-DD-column breaks). Each re-initializes the
+    # affected ambiguity from that epoch on.
+    n_slips: int = 0
+
+
+def _segment_ambiguities(col_break: np.ndarray):
+    """Per-column ambiguity segmentation from break flags.
+
+    col_break[k-1, j] marks a new ambiguity for DD column j starting at
+    epoch k (a cycle slip between epochs k-1 and k — RTKLIB re-initializes
+    the slipped ambiguity the same way). Returns (amb_idx [K, S-1], n_amb).
+    """
+    km1, sm1 = col_break.shape
+    amb_idx = np.zeros((km1 + 1, sm1), np.intp)
+    n = 0
+    for j in range(sm1):
+        cur = n
+        n += 1
+        amb_idx[0, j] = cur
+        for k in range(1, km1 + 1):
+            if col_break[k - 1, j]:
+                cur = n
+                n += 1
+            amb_idx[k, j] = cur
+    return amb_idx, n
 
 
 def _sat_states(eph_objs: Sequence, t_obs: np.ndarray, c1: np.ndarray):
@@ -258,32 +280,53 @@ def solve_baseline(rover: ObsData, base: ObsData,
         dd_model, _ = model(x)
         return x, amb, A, dd_phase - dd_model - half * amb[amb_idx]
 
-    amb_idx = np.broadcast_to(np.arange(S - 1), (K, S - 1)).copy()
-    x_float, amb, A, res_float = float_solve(amb_idx, S - 1)
+    # Cycle-slip detection. Primary: Doppler consistency per receiver and
+    # satellite BEFORE any fit (RTKLIB's detslp_dop): the integrated-phase
+    # step between epochs must match the trapezoidal Doppler prediction
+    # (writer convention dL1/dt = -D1, receiver/rinex.py, which writes the
+    # block-centered window-averaged Doppler — the raw per-block NCO
+    # frequency mispredicts by up to ~1 cycle). A half-cycle slip is a
+    # 0.5-cycle outlier against measured prediction noise of ~0.04 cycles
+    # rms / 0.19 max (26 s static AND circle-trajectory captures).
+    # Geometry-free, so it works identically in static and kinematic mode
+    # (a post-fit residual test is blind in kinematic geometry: the
+    # per-epoch position unknowns absorb the step when few satellites are
+    # in view). A slip on the REFERENCE satellite re-initializes every DD
+    # column but counts as the one physical event it is.
+    def dopp_slips(by_t):
+        """[K-1, S] slip flags from one receiver's L1/D1, or None."""
+        if any("D1" not in by_t[t].obs[p] for t in common_t for p in sats):
+            return None
+        d1 = np.array([[by_t[t].obs[p]["D1"] for p in sats]
+                       for t in common_t])
+        l1 = np.array([[by_t[t].obs[p]["L1"] for p in sats]
+                       for t in common_t])
+        dt = np.diff(sow)[:, None]
+        pred = -0.5 * (d1[1:] + d1[:-1]) * dt
+        return np.abs(np.diff(l1, axis=0) - pred) > 0.25
 
-    # Cycle-slip detection on the float residual series: a slip is a
-    # step of >= lambda/2 ~ 9.5 cm in one satellite's DD residual; the
-    # slip-free epoch-to-epoch residual scatter is millimetric, so a
-    # 4 cm step test separates them cleanly. Each detected slip opens a
-    # new ambiguity column from that epoch on and the float solution is
-    # recomputed (one pass detects all steps at once).
     n_slips = 0
-    if K >= 3:
-        steps = np.abs(np.diff(res_float, axis=0)) > 0.04
-        if steps.any():
-            amb_idx = np.zeros((K, S - 1), np.intp)
-            n_amb = 0
-            for j in range(S - 1):
-                cur = n_amb
-                n_amb += 1
-                amb_idx[0, j] = cur
-                for k in range(1, K):
-                    if steps[k - 1, j]:
-                        cur = n_amb
-                        n_amb += 1
-                        n_slips += 1
-                    amb_idx[k, j] = cur
-            x_float, amb, A, res_float = float_solve(amb_idx, n_amb)
+    amb_idx = np.broadcast_to(np.arange(S - 1), (K, S - 1)).copy()
+    n_amb = S - 1
+    sl_r, sl_b = dopp_slips(by_t_rov), dopp_slips(by_t_base)
+    if sl_r is not None and sl_b is not None:
+        sl = sl_r | sl_b                                  # [K-1, S]
+        n_slips = int(sl.sum())
+        if n_slips:
+            amb_idx, n_amb = _segment_ambiguities(sl[:, oth] | sl[:, [ref]])
+        x_float, amb, A, res_float = float_solve(amb_idx, n_amb)
+    else:
+        # Fallback without Doppler observables: step test on the float
+        # DD residual series (a slip is a >= lambda/2 ~ 9.5 cm step
+        # against millimetric slip-free scatter). Static geometry only —
+        # see the kinematic caveat above.
+        x_float, amb, A, res_float = float_solve(amb_idx, n_amb)
+        if K >= 3 and not kinematic:
+            steps = np.abs(np.diff(res_float, axis=0)) > 0.04
+            if steps.any():
+                amb_idx, n_amb = _segment_ambiguities(steps)
+                n_slips = int(steps.sum())
+                x_float, amb, A, res_float = float_solve(amb_idx, n_amb)
 
     phase_rms = float(np.sqrt(np.mean(res_float ** 2)))
 

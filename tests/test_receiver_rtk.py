@@ -106,6 +106,35 @@ def test_ils_matches_brute_force():
         assert abs(scored[1][0] - dists[1]) < 1e-8
 
 
+def test_lll_invariants_and_scale():
+    """The incremental-GS LLL must (a) return a basis of the SAME lattice
+    (B_out = B_in U with U unimodular), (b) be size-reduced and satisfy
+    the Lovász condition, and (c) stay fast at the ambiguity dimensions a
+    slip-segmented kinematic window produces (the O(n^3)-per-step
+    re-orthogonalization it replaced took minutes at n ~ 60)."""
+    import time
+
+    from gps_sdr_sim_tpu.receiver.ambiguity import _lll
+
+    rng = np.random.default_rng(3)
+    for n in (2, 5, 9, 24, 60):
+        M = rng.normal(size=(n, n)) + np.eye(n)
+        t0 = time.perf_counter()
+        Bred, U = _lll(M)
+        assert time.perf_counter() - t0 < 5.0, f"LLL slow at n={n}"
+        assert abs(abs(round(np.linalg.det(U.astype(float)))) - 1) == 0
+        assert np.allclose(Bred, M @ U, atol=1e-9 * np.abs(M).max())
+        # Size-reduction + Lovász on the reduced basis's own GS.
+        Q, R = np.linalg.qr(Bred)
+        d = np.abs(np.diag(R))
+        mu = R / np.sign(np.diag(R))[:, None] / d[:, None]
+        off = np.triu(np.abs(mu), k=1)
+        assert off.max() <= 0.5 + 1e-9, f"not size-reduced at n={n}"
+        for k in range(1, n):
+            assert d[k] ** 2 >= (0.75 - mu[k - 1, k] ** 2) * \
+                d[k - 1] ** 2 - 1e-9, f"Lovász fails at n={n}, k={k}"
+
+
 def test_dd_baseline_fixes_to_millimeters(rinex_pair, eph_by_prn):
     """Double-difference solution with a known base: the fixed baseline
     must agree with the simulated geometry at the millimeter level."""
@@ -158,6 +187,25 @@ def test_cycle_slip_is_detected_and_refixed(rinex_pair, eph_by_prn):
     err = np.linalg.norm(sol.baseline - (ROVER - BASE))
     assert err < 0.005, f"post-slip fixed error {err * 1e3:.2f} mm"
     assert sol.phase_rms < 0.005
+
+
+def test_reference_satellite_slip_counts_once(rinex_pair, eph_by_prn):
+    """A slip on the REFERENCE satellite steps every DD series at once;
+    the Doppler detector attributes it to the one physical event (RTKLIB
+    slip accounting), re-initializes all columns, and still fixes."""
+    obs_b, obs_r, _ = rinex_pair
+    rover = read_rinex_obs(io.StringIO(obs_r))
+    base = read_rinex_obs(io.StringIO(obs_b))
+    clean = solve_baseline(rover, base, eph_by_prn, base_xyz=BASE)
+
+    for ep in rover.epochs[12:]:
+        ep.obs[clean.ref_prn]["L1"] += 2.5
+    sol = solve_baseline(rover, base, eph_by_prn, base_xyz=BASE)
+    assert sol.ref_prn == clean.ref_prn
+    assert sol.n_slips == 1
+    assert sol.fixed, (sol.ratio, sol.amb_frac)
+    err = np.linalg.norm(sol.baseline - (ROVER - BASE))
+    assert err < 0.005, f"ref-sat-slip fixed error {err * 1e3:.2f} mm"
 
 
 def test_kinematic_rover_fixes_to_centimeters():
@@ -219,6 +267,30 @@ def test_kinematic_rover_fixes_to_centimeters():
     errs = np.array(errs)
     assert errs.max() < 0.03, f"worst kinematic error {errs.max():.3f} m"
     assert errs.mean() < 0.02, f"mean kinematic error {errs.mean():.3f} m"
+
+    # Kinematic cycle slip: a post-fit residual test is blind here (the
+    # per-epoch position unknowns absorb the step), which is exactly why
+    # the detector is the geometry-free Doppler check. Inject a slip
+    # mid-track and the solution must re-fix onto the trajectory.
+    rov2 = read_rinex_obs(io.StringIO(fo_r.getvalue()))
+    v = int(sol.prns[0])
+    for ep in rov2.epochs[10:]:
+        ep.obs[v]["L1"] += 1.5
+    sol2 = solve_baseline(rov2,
+                          read_rinex_obs(io.StringIO(fo_b.getvalue())),
+                          eph_by_prn, base_xyz=center, kinematic=True)
+    assert sol2.n_slips == 1
+    assert sol2.fixed, (sol2.ratio, sol2.amb_frac)
+    errs2 = []
+    for t, bl in zip(sol2.times, sol2.baselines):
+        tt = (t - g0_sow) * 10.0
+        i0 = int(tt)
+        frac = tt - i0
+        truth = traj[i0] * (1 - frac) + traj[min(i0 + 1,
+                                                 len(traj) - 1)] * frac
+        errs2.append(np.linalg.norm(center + bl - truth))
+    assert np.max(errs2) < 0.03, \
+        f"worst post-slip kinematic error {np.max(errs2):.3f} m"
 
 
 def test_rtk_cli_reports_fix(rinex_pair, tmp_path, capsys):
