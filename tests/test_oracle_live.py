@@ -10,6 +10,7 @@ C compiler is unavailable.
 
 import io
 import pathlib
+import re
 import shutil
 import subprocess
 
@@ -142,12 +143,17 @@ _FUZZ_CASES = [
 ]
 
 
+_GLOG_RE = re.compile(r"[EWIF]\d{4} \d\d:\d\d:\d\d\.\d+\s+\d+ \S+:\d+\]")
+
+
 def _strip(stderr: str) -> list:
     """Diagnostic lines before any usage dump, argv[0] prefixes removed."""
     out = []
     for ln in stderr.splitlines():
         if ln.startswith("Usage:") or ln.startswith("Options:"):
             break
+        if _GLOG_RE.match(ln):  # XLA absl diagnostics (e.g. AOT-cache warn)
+            continue
         # glibc getopt prefixes "<argv0>: "; ours prints the message bare.
         for marker in ("option requires an argument", "invalid option"):
             i = ln.find(marker)

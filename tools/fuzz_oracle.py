@@ -24,6 +24,7 @@ import argparse
 import json
 import os
 import pathlib
+import re
 import shutil
 import subprocess
 import sys
@@ -108,6 +109,10 @@ def gen_case(rng: np.random.Generator) -> dict:
 
 _PROGRESS_MARKERS = ("Time into run", "Process time", "Throughput =",
                      "WARNING:", "warnings.warn")
+# absl/glog diagnostics XLA may emit to stderr (e.g. the CPU AOT cache
+# warning when the compile-cache machine features differ from the host):
+# "E0818 02:06:04.402693 32752 cpu_aot_loader.cc:210] ..."
+_GLOG_RE = re.compile(r"[EWIF]\d{4} \d\d:\d\d:\d\d\.\d+\s+\d+ \S+:\d+\]")
 
 
 def canon_stderr(text: str) -> list:
@@ -122,6 +127,8 @@ def canon_stderr(text: str) -> list:
         if not ln.strip():
             continue
         if any(m in ln for m in _PROGRESS_MARKERS):
+            continue
+        if _GLOG_RE.match(ln):
             continue
         out.append(ln)
     return out
