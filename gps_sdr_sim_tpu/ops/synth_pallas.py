@@ -86,11 +86,20 @@ _PACKED_Q0 = ((SIN_TABLE512[:128].astype(np.int64) & 0xFFFF)
               | (COS_TABLE512[:128].astype(np.int64) << 16)).astype(np.int32)
 
 
-def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True):
+def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
+                 uniform: bool = False):
     """quantize=False emits the raw int32 accumulators (pre-(acc+64)>>7)
     so a channel-sharded caller can psum partial sums over ICI before
     quantizing — the reference sums ALL channels first (gpssim.c:2192-2259),
-    so reduction placement is correctness-relevant."""
+    so reduction placement is correctness-relevant.
+
+    uniform=True promises every row of a tile shares one epoch's
+    parameters (the caller epoch-aligns the row layout — see
+    _wire_to_params(align=True)), so the six per-channel `r*step` limb
+    multiplies — the kernel's only vector int32 multiplies besides the
+    gain mix, and int32 multiply is emulated on the VPU — hoist out of
+    the per-sub-block loop and are paid once per tile instead of once
+    per row."""
     def kernel(params_ref, ca_ref, tbl_ref, i_ref, q_ref):
         shape = (_SLAB, 128)
         # sample index within the sub-block
@@ -99,6 +108,20 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True):
         tbl_b = jnp.broadcast_to(tbl_ref[0:1, :], shape)
         ca_b = [jnp.broadcast_to(ca_ref[c:c + 1, :], shape)
                 for c in range(n_chan)]
+
+        if uniform:
+            # Steps are per-epoch constants; with epoch-aligned tiles the
+            # ramp slopes r*S are tile-invariant.
+            hoist = []
+            for c in range(n_chan):
+                base = c * PARAM_LANES
+
+                def p0(lane, base=base):
+                    return params_ref[0, base + lane]
+
+                hoist.append((
+                    tuple(r * p0(_P_CODE_S + k) for k in range(3)),
+                    tuple(r * p0(_P_CARR_S + k) for k in range(3))))
 
         for s in range(tile_rows):
             iacc = jnp.zeros(shape, jnp.int32)
@@ -109,10 +132,16 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True):
                 def p(lane):
                     return params_ref[s, base + lane]  # SMEM scalar
 
+                if uniform:
+                    rs, ws = hoist[c]
+                else:
+                    rs = tuple(r * p(_P_CODE_S + k) for k in range(3))
+                    ws = tuple(r * p(_P_CARR_S + k) for k in range(3))
+
                 # --- code-phase ramp ---
-                v0 = p(_P_CODE_P + 0) + r * p(_P_CODE_S + 0)
-                v1 = p(_P_CODE_P + 1) + r * p(_P_CODE_S + 1)
-                v2 = p(_P_CODE_P + 2) + r * p(_P_CODE_S + 2)
+                v0 = p(_P_CODE_P + 0) + rs[0]
+                v1 = p(_P_CODE_P + 1) + rs[1]
+                v2 = p(_P_CODE_P + 2) + rs[2]
                 v1 = v1 + (v0 >> 16)
                 v2 = v2 + (v1 >> 16)
                 T = p(_P_TBASE) + (v2 >> 8)
@@ -123,18 +152,18 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True):
 
                 # C/A chip: one lane-gather of the bit-packed word
                 word = jnp.take_along_axis(ca_b[c], chip >> 5, axis=1)
-                ca_val = 2 * ((word >> (chip & 31)) & 1) - 1
+                ca_bit = (word >> (chip & 31)) & 1
 
                 mg = p(_P_M0) + M
                 bidx = jnp.floor((mg.astype(jnp.float32) + 0.5)
                                  * _INV20).astype(jnp.int32)
                 j = bidx - p(_P_B0)
-                bit_val = 2 * ((p(_P_NAVBITS) >> j) & 1) - 1
+                nav_bit = (p(_P_NAVBITS) >> j) & 1
 
                 # --- carrier-phase ramp ---
-                w0 = p(_P_CARR_P + 0) + r * p(_P_CARR_S + 0)
-                w1 = p(_P_CARR_P + 1) + r * p(_P_CARR_S + 1)
-                w2 = p(_P_CARR_P + 2) + r * p(_P_CARR_S + 2)
+                w0 = p(_P_CARR_P + 0) + ws[0]
+                w1 = p(_P_CARR_P + 1) + ws[1]
+                w2 = p(_P_CARR_P + 2) + ws[2]
                 w1 = w1 + (w0 >> 16)
                 w2 = w2 + (w1 >> 16)
                 i_tab = ((w2 << 1) | ((w1 >> 15) & 1)) & 0x1FF
@@ -144,21 +173,24 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True):
                 # sinT[127-rr] = cosT[rr] and cosT[127-rr] = sinT[rr], so
                 # the flip itself performs the sin<->cos swap of the
                 # odd quadrants. Quadrant signs: sin < 0 for qq in {2,3},
-                # cos < 0 for qq in {1,2}; applied as xor-sub negation.
+                # cos < 0 for qq in {1,2}.
                 lane = i_tab & 127
                 qq = i_tab >> 7
                 lane = jnp.where((qq & 1) == 1, 127 - lane, lane)
                 w = jnp.take_along_axis(tbl_b, lane, axis=1)
-                sin_v = (w << 16) >> 16
-                cos_v = w >> 16
-                ns = -(qq >> 1)                  # 0 or -1
-                nc = -(((qq + 1) >> 1) & 1)
-                sin_v = (sin_v ^ ns) - ns
-                cos_v = (cos_v ^ nc) - nc
 
-                m = bit_val * ca_val * p(_P_GAIN)
-                iacc = iacc + m * cos_v
-                qacc = qacc + m * sin_v
+                # The data sign (navbit*chip = -1 iff the bits differ) and
+                # the quadrant sign compose by XOR of their 0/-1 masks, and
+                # (x^m)-m negates exactly (mod 2^32, matching the C int
+                # arithmetic) — so the mix needs 2 multiplies (gain*sin,
+                # gain*cos), not 4 ((bit*ca)*gain, then *sin and *cos).
+                dsign = -(ca_bit ^ nav_bit)
+                ns = (-(qq >> 1)) ^ dsign
+                nc = (-(((qq + 1) >> 1) & 1)) ^ dsign
+                gs = ((w << 16) >> 16) * p(_P_GAIN)
+                gc = (w >> 16) * p(_P_GAIN)
+                iacc = iacc + ((gc ^ nc) - nc)
+                qacc = qacc + ((gs ^ ns) - ns)
 
             sl = slice(s * _SLAB, (s + 1) * _SLAB)
             if quantize:
@@ -172,30 +204,32 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True):
 
 
 @lru_cache(maxsize=None)
-def _get_pallas_fn(n_chan: int, quantize: bool = True):
-    kernel = _make_kernel(n_chan, _TILE_ROWS, quantize)
+def _get_pallas_fn(n_chan: int, quantize: bool = True,
+                   uniform: bool = False, tile_rows: int = 0):
+    tile_rows = tile_rows or _TILE_ROWS
+    kernel = _make_kernel(n_chan, tile_rows, quantize, uniform)
     out_dtype = jnp.int16 if quantize else jnp.int32
     tbl = _PACKED_Q0.reshape(1, 128)
 
     @jax.jit
     def run(params, ca_words):
         rows = params.shape[0]
-        grid = (rows // _TILE_ROWS,)
+        grid = (rows // tile_rows,)
         # gather operands must span 128 lanes; word indices are < 32
         ca_in = jnp.pad(ca_words, ((0, 0), (0, 128 - ca_words.shape[1])))
         i16, q16 = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((_TILE_ROWS, params.shape[1]),
+                pl.BlockSpec((tile_rows, params.shape[1]),
                              lambda i: (i, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # ca_words whole
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # packed trig table
             ],
             out_specs=(
-                pl.BlockSpec((_TILE_ROWS * _SLAB, 128), lambda i: (i, 0),
+                pl.BlockSpec((tile_rows * _SLAB, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((_TILE_ROWS * _SLAB, 128), lambda i: (i, 0),
+                pl.BlockSpec((tile_rows * _SLAB, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
@@ -294,12 +328,36 @@ def _unpack_wire(wire):
         navbits=wire[..., 10], gain=wire[..., 11])
 
 
-def _wire_to_params(wire, sub_blocks: int):
+def _aligned_tile(sub_blocks: int) -> tuple[int, int]:
+    """Pick (tile_rows, padded sub-block count) for epoch-aligned tiles.
+
+    Tiles must not straddle epochs (the uniform kernel reads one row's
+    steps for the whole tile), so each epoch's row count pads up to a
+    tile multiple; choose the tile size minimizing that waste, preferring
+    larger tiles (more hoist amortization) on ties. At the canonical
+    2.6 Msps (127 sub-blocks/epoch) the waste is one sub-block (0.8%)."""
+    best = None
+    for t in (8, 16, 24, 32):
+        pad = -(-sub_blocks // t) * t
+        if best is None or pad < best[1] or (pad == best[1] and t > best[0]):
+            best = (t, pad)
+    return best
+
+
+def _wire_to_params(wire, sub_blocks: int, align: bool = False):
     """Wire [B, C, 12] -> kernel params [rows_pad, C*32] (on device).
 
     Performs the exact per-sub-block rebase and the lane packing; shared
-    by the single-device fast path and the shard_map'd pod path."""
+    by the single-device fast path and the shard_map'd pod path.
+
+    align=True pads each epoch's sub-block count to a whole number of
+    kernel tiles (see _aligned_tile) so every tile's rows share one
+    epoch's parameters — the contract of the uniform kernel variant. The
+    padded sub-blocks evaluate the same ramps a little past the epoch end
+    and are sliced off by the caller."""
     SB = sub_blocks
+    if align:
+        SB = _aligned_tile(sub_blocks)[1]
     u = _unpack_wire(wire)
     t0, code_f8, code_s8 = u["t0"], u["code_f8"], u["code_s8"]
     carr_f8, carr_s8 = u["carr_f8"], u["carr_s8"]
@@ -333,25 +391,26 @@ def _wire_to_params(wire, sub_blocks: int):
         lanes + [jnp.zeros_like(t_base)] * (PARAM_LANES - len(lanes)),
         axis=-1)  # [B, SB, C, 32]
     rows = B * SB
-    rows_pad = -(-rows // _TILE_ROWS) * _TILE_ROWS
     params = params.reshape(rows, C * PARAM_LANES)
-    if rows_pad != rows:
-        params = jnp.pad(params, ((0, rows_pad - rows), (0, 0)))
+    if not align:
+        rows_pad = -(-rows // _TILE_ROWS) * _TILE_ROWS
+        if rows_pad != rows:
+            params = jnp.pad(params, ((0, rows_pad - rows), (0, 0)))
     return params, rows
 
 
 @lru_cache(maxsize=None)
 def _get_epoch_fn(n_chan: int, sub_blocks: int, n_out: int):
-    pallas_fn_inner = _get_pallas_fn(n_chan)
-    SB = sub_blocks
+    tile, SBp = _aligned_tile(sub_blocks)
+    pallas_fn_inner = _get_pallas_fn(n_chan, uniform=True, tile_rows=tile)
 
     @jax.jit
     def run(wire, ca_words):
         B = wire.shape[0]
-        params, rows = _wire_to_params(wire, SB)
+        params, rows = _wire_to_params(wire, sub_blocks, align=True)
         i16, q16 = pallas_fn_inner(params, ca_words)
-        iq = jnp.stack([i16[:rows].reshape(B, SB * SUBBLOCK),
-                        q16[:rows].reshape(B, SB * SUBBLOCK)], axis=-1)
+        iq = jnp.stack([i16.reshape(B, SBp * SUBBLOCK),
+                        q16.reshape(B, SBp * SUBBLOCK)], axis=-1)
         return iq[:, :n_out]
 
     return run

@@ -153,12 +153,14 @@ def _get_wire_sharded_fn(mesh: Mesh, sub_blocks: int, n_out: int,
     from gps_sdr_sim_tpu.ops import synth_pallas
 
     chan_n = mesh.shape[CHAN_AXIS]
-    inner = synth_pallas._get_pallas_fn(local_chan, quantize=(chan_n == 1))
-    SB = sub_blocks
+    tile, SBp = synth_pallas._aligned_tile(sub_blocks)
+    inner = synth_pallas._get_pallas_fn(local_chan, quantize=(chan_n == 1),
+                                        uniform=True, tile_rows=tile)
 
     def local(wire, ca):
         B = wire.shape[0]
-        params, rows = synth_pallas._wire_to_params(wire, SB)
+        params, _rows = synth_pallas._wire_to_params(wire, sub_blocks,
+                                                     align=True)
         ia, qa = inner(params, ca)
         if chan_n > 1:
             # Raw int32 partial accumulators cross ICI BEFORE the
@@ -166,8 +168,8 @@ def _get_wire_sharded_fn(mesh: Mesh, sub_blocks: int, n_out: int,
             # gpssim.c:2192-2259).
             ia = ((jax.lax.psum(ia, CHAN_AXIS) + 64) >> 7).astype(jnp.int16)
             qa = ((jax.lax.psum(qa, CHAN_AXIS) + 64) >> 7).astype(jnp.int16)
-        iq = jnp.stack([ia[:rows].reshape(B, SB * SUBBLOCK),
-                        qa[:rows].reshape(B, SB * SUBBLOCK)], axis=-1)
+        iq = jnp.stack([ia.reshape(B, SBp * SUBBLOCK),
+                        qa.reshape(B, SBp * SUBBLOCK)], axis=-1)
         return iq[:, :n_out]
 
     fn = jax.shard_map(
