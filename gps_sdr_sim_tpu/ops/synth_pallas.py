@@ -87,7 +87,7 @@ _PACKED_Q0 = ((SIN_TABLE512[:128].astype(np.int64) & 0xFFFF)
 
 
 def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
-                 uniform: bool = False):
+                 uniform: bool = False, premult: bool = False):
     """quantize=False emits the raw int32 accumulators (pre-(acc+64)>>7)
     so a channel-sharded caller can psum partial sums over ICI before
     quantizing — the reference sums ALL channels first (gpssim.c:2192-2259),
@@ -96,10 +96,17 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
     uniform=True promises every row of a tile shares one epoch's
     parameters (the caller epoch-aligns the row layout — see
     _wire_to_params(align=True)), so the six per-channel `r*step` limb
-    multiplies — the kernel's only vector int32 multiplies besides the
-    gain mix, and int32 multiply is emulated on the VPU — hoist out of
-    the per-sub-block loop and are paid once per tile instead of once
-    per row."""
+    multiplies — vector int32 multiply is emulated on the VPU — hoist
+    out of the per-sub-block loop and are paid once per tile instead of
+    once per row.
+
+    premult=True (requires uniform) additionally folds the per-epoch gain
+    into a per-channel copy of the packed trig table once per tile
+    (sin*g | cos*g<<16 — exact int16 rails while gain <= 32767//250; the
+    caller gates on that, see stage_epochs), removing the last per-sample
+    vector multiplies from the kernel entirely."""
+    assert not (premult and not uniform), "premult requires uniform tiles"
+
     def kernel(params_ref, ca_ref, tbl_ref, i_ref, q_ref):
         shape = (_SLAB, 128)
         # sample index within the sub-block
@@ -119,9 +126,21 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                 def p0(lane, base=base):
                     return params_ref[0, base + lane]
 
+                if premult:
+                    # Gain-scaled table, built once per (tile, channel):
+                    # rails stay exact int16 (|sin|,|cos| <= 250, gain
+                    # <= 131 by the caller's gate), so one gather yields
+                    # the already-mixed pair.
+                    g = p0(_P_GAIN)
+                    sg = ((tbl_b << 16) >> 16) * g
+                    cg = (tbl_b >> 16) * g
+                    tbl_c = (sg & 0xFFFF) | (cg << 16)
+                else:
+                    tbl_c = None
                 hoist.append((
                     tuple(r * p0(_P_CODE_S + k) for k in range(3)),
-                    tuple(r * p0(_P_CARR_S + k) for k in range(3))))
+                    tuple(r * p0(_P_CARR_S + k) for k in range(3)),
+                    tbl_c))
 
         for s in range(tile_rows):
             iacc = jnp.zeros(shape, jnp.int32)
@@ -133,10 +152,11 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                     return params_ref[s, base + lane]  # SMEM scalar
 
                 if uniform:
-                    rs, ws = hoist[c]
+                    rs, ws, tbl_c = hoist[c]
                 else:
                     rs = tuple(r * p(_P_CODE_S + k) for k in range(3))
                     ws = tuple(r * p(_P_CARR_S + k) for k in range(3))
+                    tbl_c = None
 
                 # --- code-phase ramp ---
                 v0 = p(_P_CODE_P + 0) + rs[0]
@@ -177,18 +197,23 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                 lane = i_tab & 127
                 qq = i_tab >> 7
                 lane = jnp.where((qq & 1) == 1, 127 - lane, lane)
-                w = jnp.take_along_axis(tbl_b, lane, axis=1)
+                w = jnp.take_along_axis(
+                    tbl_c if premult else tbl_b, lane, axis=1)
 
                 # The data sign (navbit*chip = -1 iff the bits differ) and
                 # the quadrant sign compose by XOR of their 0/-1 masks, and
                 # (x^m)-m negates exactly (mod 2^32, matching the C int
-                # arithmetic) — so the mix needs 2 multiplies (gain*sin,
-                # gain*cos), not 4 ((bit*ca)*gain, then *sin and *cos).
+                # arithmetic) — so the mix needs at most 2 multiplies
+                # (gain*sin, gain*cos), and none at all when the gain is
+                # premultiplied into the gathered table.
                 dsign = -(ca_bit ^ nav_bit)
                 ns = (-(qq >> 1)) ^ dsign
                 nc = (-(((qq + 1) >> 1) & 1)) ^ dsign
-                gs = ((w << 16) >> 16) * p(_P_GAIN)
-                gc = (w >> 16) * p(_P_GAIN)
+                gs = (w << 16) >> 16
+                gc = w >> 16
+                if not premult:
+                    gs = gs * p(_P_GAIN)
+                    gc = gc * p(_P_GAIN)
                 iacc = iacc + ((gc ^ nc) - nc)
                 qacc = qacc + ((gs ^ ns) - ns)
 
@@ -205,9 +230,10 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
 
 @lru_cache(maxsize=None)
 def _get_pallas_fn(n_chan: int, quantize: bool = True,
-                   uniform: bool = False, tile_rows: int = 0):
+                   uniform: bool = False, tile_rows: int = 0,
+                   premult: bool = False):
     tile_rows = tile_rows or _TILE_ROWS
-    kernel = _make_kernel(n_chan, tile_rows, quantize, uniform)
+    kernel = _make_kernel(n_chan, tile_rows, quantize, uniform, premult)
     out_dtype = jnp.int16 if quantize else jnp.int32
     tbl = _PACKED_Q0.reshape(1, 128)
 
@@ -400,9 +426,11 @@ def _wire_to_params(wire, sub_blocks: int, align: bool = False):
 
 
 @lru_cache(maxsize=None)
-def _get_epoch_fn(n_chan: int, sub_blocks: int, n_out: int):
+def _get_epoch_fn(n_chan: int, sub_blocks: int, n_out: int,
+                  premult: bool = False):
     tile, SBp = _aligned_tile(sub_blocks)
-    pallas_fn_inner = _get_pallas_fn(n_chan, uniform=True, tile_rows=tile)
+    pallas_fn_inner = _get_pallas_fn(n_chan, uniform=True, tile_rows=tile,
+                                     premult=premult)
 
     @jax.jit
     def run(wire, ca_words):
@@ -432,6 +460,22 @@ def _ca_device(ca_words: np.ndarray) -> jax.Array:
     return dev
 
 
+# Gain bound for the premultiplied-table kernel: |table| = 250, so rails
+# stay exact int16 while gain <= 32767 // 250. True for every terrestrial
+# scenario (the 20,200 km reference distance caps gain near 128,
+# gpssim.c:2178-2186); spacecraft passing close to the GPS shell can
+# exceed it and fall back to the in-mix gain multiply. Env kill-switch
+# for A/B ablation.
+PREMULT_MAX_GAIN = 32767 // 250
+_PREMULT_ENABLED = _os.environ.get("GPS_SDR_SIM_PREMULT", "1") != "0"
+
+
+def premult_ok(gain: np.ndarray) -> bool:
+    """Host-side gate: may this batch use the premultiplied kernel?"""
+    return bool(_PREMULT_ENABLED and (np.size(gain) == 0 or int(
+        np.max(gain)) <= PREMULT_MAX_GAIN))
+
+
 def stage_epochs(eb):
     """Start the (async) host->device upload of an EpochBatch.
 
@@ -443,14 +487,14 @@ def stage_epochs(eb):
     from gps_sdr_sim_tpu.ops.plan import pack_epoch_wire
 
     return (jnp.asarray(pack_epoch_wire(eb)), _ca_device(eb.ca_words),
-            max(eb.n_chan, 1))
+            max(eb.n_chan, 1), premult_ok(eb.gain))
 
 
 def synth_staged(staged, n_out: int) -> jax.Array:
     """Staged upload (stage_epochs) -> [B, n_out, 2] int16 on device."""
-    wire, ca_dev, n_chan = staged
+    wire, ca_dev, n_chan, premult = staged
     sub_blocks = -(-n_out // SUBBLOCK)
-    fn = _get_epoch_fn(n_chan, sub_blocks, n_out)
+    fn = _get_epoch_fn(n_chan, sub_blocks, n_out, premult)
     return fn(wire, ca_dev)
 
 

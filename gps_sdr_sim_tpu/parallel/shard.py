@@ -148,14 +148,15 @@ def _get_sharded_pallas_fn(mesh: Mesh, local_chan: int):
 
 @lru_cache(maxsize=None)
 def _get_wire_sharded_fn(mesh: Mesh, sub_blocks: int, n_out: int,
-                         local_chan: int):
+                         local_chan: int, premult: bool = False):
     from gps_sdr_sim_tpu.constants import SUBBLOCK
     from gps_sdr_sim_tpu.ops import synth_pallas
 
     chan_n = mesh.shape[CHAN_AXIS]
     tile, SBp = synth_pallas._aligned_tile(sub_blocks)
     inner = synth_pallas._get_pallas_fn(local_chan, quantize=(chan_n == 1),
-                                        uniform=True, tile_rows=tile)
+                                        uniform=True, tile_rows=tile,
+                                        premult=premult)
 
     def local(wire, ca):
         B = wire.shape[0]
@@ -207,8 +208,11 @@ def synth_epochs_sharded(eb, n_out: int, mesh: Mesh) -> jax.Array:
     # batch of a segment (uploads cost ~2 ms each behind the tunnel).
     ca = _ca_device(np.pad(eb.ca_words, ((0, c_pad), (0, 0))))
     sub_blocks = -(-n_out // SUBBLOCK)
+    from gps_sdr_sim_tpu.ops.synth_pallas import premult_ok
+
     fn = _get_wire_sharded_fn(mesh, sub_blocks, n_out,
-                              (C + c_pad) // n_chan_dev)
+                              (C + c_pad) // n_chan_dev,
+                              premult_ok(eb.gain))
     out = fn(jnp.asarray(wire), ca)
     return out[:B]
 
