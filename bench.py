@@ -40,15 +40,16 @@ _ROOT = pathlib.Path(__file__).parent
 _BASELINE_X = {16: 4.4, 8: 4.5, 1: 4.8}
 
 # Hand count of int32 VPU ops per (channel, sample) in the fused gather
-# kernel (ops/synth_pallas.py, uniform/epoch-aligned variant): two 3-limb
+# kernel (ops/synth_pallas.py, uniform/epoch-aligned variant): two 2x20-bit
 # phase ramps + carries, scalar operands from SMEM, r*step slope multiplies
-# hoisted per tile (17), chip index + wrap (7), C/A word dynamic_gather
-# + bit extract (6), nav-bit window (11), table index fold (5),
+# hoisted per tile (11), chip index + wrap (7), C/A word dynamic_gather
+# + bit extract (6), nav-bit window (11), table index extract (2),
 # quarter-folded packed sin/cos gather + data/quadrant sign composition
-# (16), gain mix + accumulate (4). Only 2 vector int32 multiplies remain
-# per chan-sample (the gain mix) — int32 multiply is emulated multi-op on
-# the VPU, so the raw count understates the win of the hoist.
-_OPS_PER_CHAN_SAMPLE = 66
+# (16), gain mix + accumulate (4). Zero vector int32 multiplies remain
+# per chan-sample on the premultiplied path (gain folds into the gathered
+# table per tile) — int32 multiply is emulated multi-op on the VPU, so
+# the raw count understates the win of the hoist.
+_OPS_PER_CHAN_SAMPLE = 57
 # Assumed VPU int32 peak per chip: 2 TensorCores x (8 x 128)-lane VPU x
 # ~1.75 GHz x 2 ALU ops/lane/cycle ~ 7.2e12 ops/s. A stated assumption
 # for an MFU-style utilization figure, not a measured device ceiling (the

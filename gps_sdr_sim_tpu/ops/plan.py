@@ -12,10 +12,12 @@ from the epoch-start phase and the 2^56-quantized step) and S (bits
 [16, 64) of that same step) are split into three 16-bit limbs covering
 fractional bits [16, 56). In-kernel arithmetic is pure int32: with
 r < 2^11 and limbs < 2^16, every partial product stays under 2^27 and
-every carry chain under 2^31. Because both kernel paths (plan_batch ->
-XLA, plan_epochs -> Pallas on-device rebase) derive their limbs from the
-same single step quantization by exact integer accumulation, their
-outputs are bit-identical on any one backend. Quantization effects vs the
+every carry chain under 2^31. (The Pallas kernel re-windows the same
+integers into two 20-bit limbs — its chain peaks at exactly INT32_MAX —
+to spend one fewer add+carry per ramp; see synth_pallas.) Because both
+kernel paths (plan_batch -> XLA, plan_epochs -> Pallas on-device rebase)
+derive their limbs from the same single step quantization by exact
+integer accumulation, their outputs are bit-identical on any one backend. Quantization effects vs the
 true f64 ramp: step drift < 2^18 * 2^-57 ~ 1e-12 per epoch, plus an
 unaccumulated < 2^-29 in-sub-block truncation -- both far below the C
 oracle's own f64-NCO noise, so chip boundaries and table indices match

@@ -44,15 +44,23 @@ from gps_sdr_sim_tpu.ops.plan import DeviceBatch
 from gps_sdr_sim_tpu.ops.tables import COS_TABLE512, SIN_TABLE512
 
 # Parameter lane assignment within a channel's 32-lane strip.
-_P_CODE_P = 0  # 0..2: code-phase base limbs
-_P_CARR_P = 3  # 3..5: carrier-phase base limbs
-_P_TBASE = 6
-_P_CODE_S = 7  # 7..9: code-step limbs
-_P_CARR_S = 10  # 10..12: carrier-step limbs
-_P_M0 = 13
-_P_B0 = 14
-_P_NAVBITS = 15
-_P_GAIN = 16
+#
+# Phase limbs are 2 x 20-bit (fractional phase bits [16, 36) and [36, 56)
+# of the 2^56-scaled value): with r < 2^11 and limbs < 2^20 the chain
+# p1 + r*s1 + carry peaks at exactly INT32_MAX (2047*(2^20-1) + (2^20-1)
+# + 2047 = 2^31-1), so two limbs replace the previous three 16-bit ones
+# with zero headroom to spare — one fewer add+carry per ramp per sample.
+# The code step's integer part (bits >= 56; nonzero below ~1.023 Msps)
+# rides a third step lane applied directly to the chip count.
+_P_CODE_P = 0  # 0..1: code-phase base limbs (20-bit)
+_P_CARR_P = 2  # 2..3: carrier-phase base limbs (20-bit)
+_P_TBASE = 4
+_P_CODE_S = 5  # 5..6: code-step limbs (20-bit); 7: step bits >= 56 (chips)
+_P_CARR_S = 8  # 8..9: carrier-step limbs (20-bit)
+_P_M0 = 10
+_P_B0 = 11
+_P_NAVBITS = 12
+_P_GAIN = 13
 PARAM_LANES = 32
 
 # Sub-blocks per kernel instance. Perf-tuning knob like SUBBLOCK; grid
@@ -87,7 +95,8 @@ _PACKED_Q0 = ((SIN_TABLE512[:128].astype(np.int64) & 0xFFFF)
 
 
 def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
-                 uniform: bool = False, premult: bool = False):
+                 uniform: bool = False, premult: bool = False,
+                 int_step: bool = True):
     """quantize=False emits the raw int32 accumulators (pre-(acc+64)>>7)
     so a channel-sharded caller can psum partial sums over ICI before
     quantizing — the reference sums ALL channels first (gpssim.c:2192-2259),
@@ -104,7 +113,12 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
     into a per-channel copy of the packed trig table once per tile
     (sin*g | cos*g<<16 — exact int16 rails while gain <= 32767//250; the
     caller gates on that, see stage_epochs), removing the last per-sample
-    vector multiplies from the kernel entirely."""
+    vector multiplies from the kernel entirely.
+
+    int_step=False promises every code step is < 1 chip/sample (its 2^56
+    bits >= 56 are zero — true at every sample rate above ~1.023 Msps;
+    the caller gates on the actual limbs), skipping the integer-step lane
+    and its per-sample add."""
     assert not (premult and not uniform), "premult requires uniform tiles"
 
     def kernel(params_ref, ca_ref, tbl_ref, i_ref, q_ref):
@@ -138,8 +152,9 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                 else:
                     tbl_c = None
                 hoist.append((
-                    tuple(r * p0(_P_CODE_S + k) for k in range(3)),
-                    tuple(r * p0(_P_CARR_S + k) for k in range(3)),
+                    tuple(r * p0(_P_CODE_S + k)
+                          for k in range(3 if int_step else 2)),
+                    tuple(r * p0(_P_CARR_S + k) for k in range(2)),
                     tbl_c))
 
         for s in range(tile_rows):
@@ -154,17 +169,17 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                 if uniform:
                     rs, ws, tbl_c = hoist[c]
                 else:
-                    rs = tuple(r * p(_P_CODE_S + k) for k in range(3))
-                    ws = tuple(r * p(_P_CARR_S + k) for k in range(3))
+                    rs = tuple(r * p(_P_CODE_S + k)
+                               for k in range(3 if int_step else 2))
+                    ws = tuple(r * p(_P_CARR_S + k) for k in range(2))
                     tbl_c = None
 
-                # --- code-phase ramp ---
+                # --- code-phase ramp: 2 x 20-bit limbs + integer step ---
                 v0 = p(_P_CODE_P + 0) + rs[0]
-                v1 = p(_P_CODE_P + 1) + rs[1]
-                v2 = p(_P_CODE_P + 2) + rs[2]
-                v1 = v1 + (v0 >> 16)
-                v2 = v2 + (v1 >> 16)
-                T = p(_P_TBASE) + (v2 >> 8)
+                v1 = p(_P_CODE_P + 1) + rs[1] + (v0 >> 20)
+                T = p(_P_TBASE) + (v1 >> 20)
+                if int_step:
+                    T = T + rs[2]
 
                 M = jnp.floor((T.astype(jnp.float32) + 0.5)
                               * _INV1023).astype(jnp.int32)
@@ -180,13 +195,15 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                 j = bidx - p(_P_B0)
                 nav_bit = (p(_P_NAVBITS) >> j) & 1
 
-                # --- carrier-phase ramp ---
+                # --- carrier-phase ramp: 2 x 20-bit limbs ---
+                # (the carrier step is < 1 cycle/sample by construction,
+                # so there is no integer-step lane)
                 w0 = p(_P_CARR_P + 0) + ws[0]
-                w1 = p(_P_CARR_P + 1) + ws[1]
-                w2 = p(_P_CARR_P + 2) + ws[2]
-                w1 = w1 + (w0 >> 16)
-                w2 = w2 + (w1 >> 16)
-                i_tab = ((w2 << 1) | ((w1 >> 15) & 1)) & 0x1FF
+                w1 = p(_P_CARR_P + 1) + ws[1] + (w0 >> 20)
+                # 9-bit table index = fractional bits [47, 56) = bits
+                # [11, 20) of the upper limb; & 0x1FF folds the >= 2^20
+                # carry bits away (phase mod 1).
+                i_tab = (w1 >> 11) & 0x1FF
 
                 # --- sin/cos: one gather of the quarter-folded table ---
                 # i_tab = qq*128 + rr. For odd qq, lane 127-rr is fetched;
@@ -231,9 +248,10 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
 @lru_cache(maxsize=None)
 def _get_pallas_fn(n_chan: int, quantize: bool = True,
                    uniform: bool = False, tile_rows: int = 0,
-                   premult: bool = False):
+                   premult: bool = False, int_step: bool = True):
     tile_rows = tile_rows or _TILE_ROWS
-    kernel = _make_kernel(n_chan, tile_rows, quantize, uniform, premult)
+    kernel = _make_kernel(n_chan, tile_rows, quantize, uniform, premult,
+                          int_step)
     out_dtype = jnp.int16 if quantize else jnp.int32
     tbl = _PACKED_Q0.reshape(1, 128)
 
@@ -275,6 +293,19 @@ def _get_pallas_fn(n_chan: int, quantize: bool = True,
     return run
 
 
+def _relimb20(l16: np.ndarray, n: int) -> list:
+    """[..., 3] 16-bit limbs (bits [0,48)) -> n 20-bit limbs + remainder.
+
+    Returns [bits [0,20), bits [20,40), ...][:n] plus, as the final entry,
+    the bits >= 20*n — the same exact integer, re-windowed for the kernel's
+    2x20-bit ramp chains."""
+    x = (l16[..., 0].astype(np.int64) | (l16[..., 1].astype(np.int64) << 16)
+         | (l16[..., 2].astype(np.int64) << 32))
+    out = [((x >> (20 * j)) & 0xFFFFF).astype(np.int32) for j in range(n)]
+    out.append((x >> (20 * n)).astype(np.int32))
+    return out
+
+
 def pack_params(db: DeviceBatch) -> np.ndarray:
     """DeviceBatch -> [B*SB (padded to TILE), C*32] int32 parameter rows."""
     B, SB, C = db.t_base.shape
@@ -288,11 +319,19 @@ def pack_params(db: DeviceBatch) -> np.ndarray:
     def put_epoch(lane, arr_b_c):  # arr [B, C] broadcast over SB
         put(lane, np.broadcast_to(arr_b_c[:, None, :], (B, SB, C)))
 
-    for k in range(3):
-        put(_P_CODE_P + k, db.code_p[..., k])
-        put(_P_CARR_P + k, db.carr_p[..., k])
-        put_epoch(_P_CODE_S + k, db.code_s[..., k])
-        put_epoch(_P_CARR_S + k, db.carr_s[..., k])
+    # Bases are fractional bits [16, 56) => exactly two 20-bit limbs; the
+    # code step carries its integer part (bits >= 56 of the 2^56 step,
+    # i.e. bits >= 40 of the [16, 64) window) in the third step lane.
+    cp = _relimb20(db.code_p, 2)
+    gp = _relimb20(db.carr_p, 2)
+    cs = _relimb20(db.code_s, 2)
+    gs = _relimb20(db.carr_s, 2)
+    for k in range(2):
+        put(_P_CODE_P + k, cp[k])
+        put(_P_CARR_P + k, gp[k])
+        put_epoch(_P_CODE_S + k, cs[k])
+        put_epoch(_P_CARR_S + k, gs[k])
+    put_epoch(_P_CODE_S + 2, cs[2])  # integer chips/sample
     put(_P_TBASE, db.t_base)
     put_epoch(_P_M0, db.m0)
     put_epoch(_P_B0, db.b0)
@@ -322,7 +361,7 @@ def _device_rebase(f8, s8, k0):
     """tot = f8 + k0 * s8 over 8 exact 8-bit limbs (all int32).
 
     f8/s8: [B, C, 8] 2^56-scaled values (the step may exceed 1.0, hence 8
-    limbs = 64 bits); k0: [SB]. Returns (the kernel's three 16-bit limbs
+    limbs = 64 bits); k0: [SB]. Returns (the kernel's two 20-bit limbs
     covering fractional bits [16, 56), integer part = bits >= 56), each
     [B, SB, C].
     """
@@ -333,12 +372,11 @@ def _device_rebase(f8, s8, k0):
         tj = t[..., j] + carry
         carry = tj >> 8
         limbs.append(tj & 0xFF)
-    # Kernel base = fractional bits [16, 56) as three 16-bit limbs.
-    l16_0 = limbs[2] | (limbs[3] << 8)
-    l16_1 = limbs[4] | (limbs[5] << 8)
-    l16_2 = limbs[6]
+    # Kernel base = fractional bits [16, 56) as two 20-bit limbs.
+    l20_0 = limbs[2] | (limbs[3] << 8) | ((limbs[4] & 0xF) << 16)
+    l20_1 = (limbs[4] >> 4) | (limbs[5] << 4) | (limbs[6] << 12)
     t_int = limbs[7] | (carry << 8)  # bits >= 56
-    return (l16_0, l16_1, l16_2), t_int
+    return (l20_0, l20_1), t_int
 
 
 def _unpack_wire(wire):
@@ -391,27 +429,27 @@ def _wire_to_params(wire, sub_blocks: int, align: bool = False):
     B, C = t0.shape
     k0 = jnp.arange(SB, dtype=jnp.int32) * SUBBLOCK
 
-    (cp0, cp1, cp2), ccarry = _device_rebase(code_f8, code_s8, k0)
-    (qp0, qp1, qp2), _ = _device_rebase(carr_f8, carr_s8, k0)
+    (cp0, cp1), ccarry = _device_rebase(code_f8, code_s8, k0)
+    (qp0, qp1), _ = _device_rebase(carr_f8, carr_s8, k0)
     t_base = t0[:, None, :] + ccarry
 
-    # Per-sample kernel steps: bits [16, 64) of the 2^56-scaled step
-    # (the top limb may exceed 8 bits when the step is > 1 chip/sample;
-    # the kernel's v2 chain has the headroom for it).
-    def step16(s8):
-        l0 = s8[..., 2] | (s8[..., 3] << 8)
-        l1 = s8[..., 4] | (s8[..., 5] << 8)
-        l2 = s8[..., 6] | (s8[..., 7] << 8)
-        return l0, l1, l2
+    # Per-sample kernel steps: fractional bits [16, 56) of the 2^56 step
+    # as two 20-bit limbs, plus the code step's integer part (bits >= 56,
+    # nonzero when the step exceeds 1 chip/sample) as a direct chip lane.
+    def step20(s8):
+        l0 = s8[..., 2] | (s8[..., 3] << 8) | ((s8[..., 4] & 0xF) << 16)
+        l1 = (s8[..., 4] >> 4) | (s8[..., 5] << 4) | (s8[..., 6] << 12)
+        return l0, l1
 
-    cs0, cs1, cs2 = step16(code_s8)
-    gs0, gs1, gs2 = step16(carr_s8)
+    cs0, cs1 = step20(code_s8)
+    cs_top = code_s8[..., 7]  # integer chips/sample
+    gs0, gs1 = step20(carr_s8)
 
     def bc(a):  # [B, C] -> [B, SB, C]
         return jnp.broadcast_to(a[:, None, :], (B, SB, C))
 
-    lanes = [cp0, cp1, cp2, qp0, qp1, qp2, t_base,
-             bc(cs0), bc(cs1), bc(cs2), bc(gs0), bc(gs1), bc(gs2),
+    lanes = [cp0, cp1, qp0, qp1, t_base,
+             bc(cs0), bc(cs1), bc(cs_top), bc(gs0), bc(gs1),
              bc(m0), bc(b0), bc(navbits), bc(gain)]
     params = jnp.stack(
         lanes + [jnp.zeros_like(t_base)] * (PARAM_LANES - len(lanes)),
@@ -427,10 +465,10 @@ def _wire_to_params(wire, sub_blocks: int, align: bool = False):
 
 @lru_cache(maxsize=None)
 def _get_epoch_fn(n_chan: int, sub_blocks: int, n_out: int,
-                  premult: bool = False):
+                  premult: bool = False, int_step: bool = True):
     tile, SBp = _aligned_tile(sub_blocks)
     pallas_fn_inner = _get_pallas_fn(n_chan, uniform=True, tile_rows=tile,
-                                     premult=premult)
+                                     premult=premult, int_step=int_step)
 
     @jax.jit
     def run(wire, ca_words):
@@ -486,15 +524,18 @@ def stage_epochs(eb):
     tunnel — see runner.run_epoch_range)."""
     from gps_sdr_sim_tpu.ops.plan import pack_epoch_wire
 
+    # int_step gate: skip the integer-step lane when every code step is
+    # < 1 chip/sample (2^56 bits >= 56 all zero — any rate > ~1.023 Msps).
+    int_step = bool(np.any(eb.code_s8[..., 7]))
     return (jnp.asarray(pack_epoch_wire(eb)), _ca_device(eb.ca_words),
-            max(eb.n_chan, 1), premult_ok(eb.gain))
+            max(eb.n_chan, 1), premult_ok(eb.gain), int_step)
 
 
 def synth_staged(staged, n_out: int) -> jax.Array:
     """Staged upload (stage_epochs) -> [B, n_out, 2] int16 on device."""
-    wire, ca_dev, n_chan, premult = staged
+    wire, ca_dev, n_chan, premult, int_step = staged
     sub_blocks = -(-n_out // SUBBLOCK)
-    fn = _get_epoch_fn(n_chan, sub_blocks, n_out, premult)
+    fn = _get_epoch_fn(n_chan, sub_blocks, n_out, premult, int_step)
     return fn(wire, ca_dev)
 
 
