@@ -51,30 +51,35 @@ _BASELINE_X = {16: 4.4, 8: 4.5, 1: 4.8}
 # the raw count understates the win of the hoist.
 _OPS_PER_CHAN_SAMPLE = 57
 # Assumed VPU int32 peak per chip: 2 TensorCores x (8 x 128)-lane VPU x
-# ~1.75 GHz x 2 ALU ops/lane/cycle ~ 7.2e12 ops/s. A stated assumption
-# for an MFU-style utilization figure, not a measured device ceiling (the
-# tunneled chip's exact generation/clock is not exposed); measured
-# delivered ops (~2.8e12/s at the 1160x headline; the kernel alone
-# sustains ~3.5e12/s with transfers excluded) put the pipeline at ~0.4 of
-# this assumption — gathers and the int-multiply-heavy ramp mix cannot
-# dual-issue everywhere.
+# ~1.75 GHz x 2 ALU ops/lane/cycle ~ 7.2e12 ops/s. Kept as the stated
+# assumption; the roofline denominator is the MEASURED ceiling from
+# tools/vpu_peak.py (VPU_PEAK.json) when present — sustained int32 VPU
+# ops/s in this kernel's own slab geometry on this actual chip.
 _VPU_PEAK_OPS = 7.2e12
 
 
-# Sum of per-batch int32 checksums of the packed stream per format for the
+def _measured_peak() -> dict:
+    p = _ROOT / "VPU_PEAK.json"
+    if not p.exists():
+        return {}
+    return json.loads(p.read_text())
+
+
+# Per-format golden (sum, nonzero_bytes) of the packed stream for the
 # canonical scenario (300 s circle.csv @ 2.6 Msps; batch-invariant because
-# it's a sum over all bytes/samples). Computed once with the xla impl on
-# CPU, which matches the committed IQ goldens (tests/test_iq_golden.py) vs
-# the C oracle. File format: one "<bits> <sum>" pair per line (legacy
-# single-value files carry the SC16 sum only).
+# both are totals over all bytes/samples). Computed once with the xla impl
+# on CPU, which matches the committed IQ goldens (tests/test_iq_golden.py)
+# vs the C oracle. File format: one "<bits> <sum> <nonzero>" triple per
+# line (legacy files: "<bits> <sum>" pairs, or a single SC16 sum).
 def _golden_checksums() -> dict:
     p = _ROOT / "tests" / "golden" / "bench_checksum.txt"
     if not p.exists():
         return {}
-    toks = p.read_text().split()
-    if len(toks) == 1:
-        return {16: int(toks[0])}
-    return {int(toks[i]): int(toks[i + 1]) for i in range(0, len(toks), 2)}
+    lines = [ln.split() for ln in p.read_text().splitlines() if ln.strip()]
+    if len(lines) == 1 and len(lines[0]) == 1:
+        return {16: (int(lines[0][0]), None)}
+    return {int(t[0]): (int(t[1]), int(t[2]) if len(t) > 2 else None)
+            for t in lines}
 
 
 def main() -> int:
@@ -85,19 +90,28 @@ def main() -> int:
     ap.add_argument("--readback", action="store_true",
                     help="ALSO time a pass that reads every sample back to "
                          "host (tunnel-bound in this environment)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (golden generation / "
+                         "off-TPU smoke runs)")
+    ap.add_argument("--write-golden", action="store_true",
+                    help="write tests/golden/bench_checksum.txt from this "
+                         "run's sums (use with --impl xla --cpu)")
     ns = ap.parse_args()
 
     from gps_sdr_sim_tpu.utils.compcache import enable as enable_cache
     enable_cache()
 
     import jax
+
+    if ns.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
     from gps_sdr_sim_tpu.models.scenario import ScenarioConfig, build_scenario
     from gps_sdr_sim_tpu.ops import synth_jnp, synth_pallas
     from gps_sdr_sim_tpu.ops.plan import pad_epochs, plan_batch, plan_epochs
-    from gps_sdr_sim_tpu.ops.quantize import pack
+    from gps_sdr_sim_tpu.ops.quantize import checksum_packed, pack
     from gps_sdr_sim_tpu.runner import _pad_batch, iter_seg_batches
 
     cfg = ScenarioConfig(
@@ -113,7 +127,14 @@ def main() -> int:
     n = scn.iq_buff_size
     B = ns.batch_epochs
 
-    checksum = jax.jit(lambda iq: jnp.sum(iq.astype(jnp.int32)))
+    # (sum, nonzero-byte count) of a packed batch's valid region. The
+    # nonzero count per batch closes the dropped-batch hole a +-50k sum
+    # tolerance leaves open: a batch of synthesized silence has nz == 0.
+    @jax.jit
+    def checksum(x):
+        by = jax.lax.bitcast_convert_type(x, jnp.uint8)
+        return (jnp.sum(x.astype(jnp.int32)),
+                jnp.sum((by != 0).astype(jnp.int32)))
 
     def _stage(seg, e0, e1):
         return synth_pallas.stage_epochs(
@@ -123,23 +144,34 @@ def main() -> int:
 
     def one_pass(fmt):
         t0 = time.time()
-        sums = []
+        sums, nzs = [], []
         # pallas: one-batch-lookahead upload staging (synth_pallas.iter_staged)
+        # + format packing fused into the kernel epilogue (the bytes that
+        # reach HBM ARE the output stream, synth_staged_packed).
+        packed = ns.impl == "pallas" and synth_pallas.packed_supported(fmt)
         stream = (synth_pallas.iter_staged(batches, lambda t: _stage(*t))
                   if ns.impl == "pallas" else None)
         for seg, e0, e1 in batches:
-            # All pack formats keep the epoch axis ([B, N, 2] or [B, N//4]).
-            if stream is not None:
+            if packed:
+                staged, _item = next(stream)
+                words = synth_pallas.synth_staged_packed(staged, n, fmt)
+                s, z = checksum_packed(words, e1 - e0, n, fmt)
+            elif stream is not None:
                 staged, _item = next(stream)
                 iq = pack(synth_pallas.synth_staged(staged, n), fmt)
+                s, z = checksum(iq[:e1 - e0])
             else:
                 db = _pad_batch(plan_batch(seg, e0, e1, n, scn.delt), B)
                 iq = pack(synth_jnp.synth_batch(db, n), fmt)
-            sums.append(checksum(iq[:e1 - e0]))
+                s, z = checksum(iq[:e1 - e0])
+            sums.append(s)
+            nzs.append(z)
         # One tiny readback (len(batches) int32s) closes the pipeline;
         # stacking device-side avoids a sync round-trip per batch.
         csum = int(np.asarray(jnp.sum(jnp.stack(sums), dtype=jnp.int64)))
-        return time.time() - t0, csum
+        nz = np.asarray(jnp.stack(nzs)).astype(np.int64)
+        wall = time.time() - t0
+        return wall, csum, int(nz.sum()), int(nz.min())
 
     # Pass 1 warms the compile cache. The device behind the tunnel is
     # time-shared and its delivered throughput swings several-x between
@@ -166,32 +198,49 @@ def main() -> int:
     goldens = _golden_checksums()
     results = {}
     passes = {16: 3, 8: 2, 1: 2}
+    if ns.write_golden:
+        passes = {16: 1, 8: 1, 1: 1}
+        new_golden = {}
     for fmt in (16, 8, 1):
         best = np.inf
-        csum = None
+        csum = nz = nz_min = None
         for i in range(passes[fmt] + 1):
             label = "warmup" if i == 0 else f"measure{i}"
-            wall, csum = one_pass_retry(fmt)
+            wall, csum, nz, nz_min = one_pass_retry(fmt)
             if i > 0:
                 best = min(best, wall)
             print(f"sc{fmt:02d} {label}: {wall:.2f} s wall, "
                   f"{scn.total_samples / wall / 1e6:.1f} Msamples/s, "
                   f"{scn.total_samples / scn.samp_freq / wall:.1f}x real "
-                  f"time, checksum={csum}", file=sys.stderr)
+                  f"time, checksum={csum}, nonzero={nz}", file=sys.stderr)
         # Sanity bound, not bit-exactness (that's tests/test_iq_golden.py):
         # the two kernel impls / backends round a few samples differently
-        # within the oracle's own noise bound, shifting the sum by O(100);
-        # gross breakage (wrong phase, dropped channel, DCE'd batch)
-        # shifts it by orders more.
-        golden = goldens.get(fmt)
-        verified = golden is not None and abs(csum - golden) <= 50_000
+        # within the oracle's own noise bound, shifting the sum by O(100)
+        # and flipping O(100) near-zero bytes; gross breakage (wrong phase,
+        # dropped channel, DCE'd batch) shifts them by orders more. Every
+        # batch must additionally synthesize SOME signal (nz_min > 0).
+        golden, golden_nz = goldens.get(fmt, (None, None))
+        verified = (golden is not None and abs(csum - golden) <= 50_000
+                    and nz_min > 0
+                    and (golden_nz is None
+                         or abs(nz - golden_nz) <= max(
+                             200_000, golden_nz // 1000)))
         if golden is not None and not verified:
-            print(f"sc{fmt:02d} CHECKSUM MISMATCH: got {csum}, "
-                  f"want ~{golden}", file=sys.stderr)
+            print(f"sc{fmt:02d} CHECKSUM MISMATCH: got sum={csum} "
+                  f"nz={nz} min_batch_nz={nz_min}, want ~{golden}/"
+                  f"{golden_nz}", file=sys.stderr)
         results[fmt] = {
             "rt": scn.total_samples / scn.samp_freq / best,
             "verified": verified,
         }
+        if ns.write_golden:
+            new_golden[fmt] = (csum, nz)
+
+    if ns.write_golden:
+        p = _ROOT / "tests" / "golden" / "bench_checksum.txt"
+        p.write_text("".join(f"{fmt} {s} {z}\n"
+                             for fmt, (s, z) in new_golden.items()))
+        print(f"wrote {p}", file=sys.stderr)
 
     if ns.readback:
         t0 = time.time()
@@ -200,7 +249,7 @@ def main() -> int:
         for seg, e0, e1 in batches:
             if stream is not None:
                 staged, _item = next(stream)
-                iq = pack(synth_pallas.synth_staged(staged, n), 16)
+                iq = synth_pallas.synth_staged_packed(staged, n, 16)
             else:
                 db = _pad_batch(plan_batch(seg, e0, e1, n, scn.delt), B)
                 iq = pack(synth_jnp.synth_batch(db, n), 16)
@@ -218,9 +267,14 @@ def main() -> int:
     avg_chan = chan_epochs / max(scn.n_output_epochs, 1)
     rt16 = results[16]["rt"]
     eff_ops = rt16 * scn.samp_freq * avg_chan * _OPS_PER_CHAN_SAMPLE
+    peak = _measured_peak()
+    measured = peak.get("measured_vpu_peak_teraops")
+    denom = measured * 1e12 if measured else _VPU_PEAK_OPS
     print(f"roofline: {avg_chan:.1f} avg channels, "
-          f"{eff_ops / 1e12:.2f} Tops/s effective vs {_VPU_PEAK_OPS / 1e12}"
-          f" Tops/s assumed VPU peak", file=sys.stderr)
+          f"{eff_ops / 1e12:.2f} Tops/s effective vs "
+          f"{denom / 1e12:.2f} Tops/s "
+          f"{'measured (tools/vpu_peak.py)' if measured else 'assumed'} "
+          f"VPU peak", file=sys.stderr)
 
     print(json.dumps({
         "metric": "synthesis_realtime_factor_circle300s_2.6msps_sc16",
@@ -237,7 +291,8 @@ def main() -> int:
         "kernel_ops_per_chan_sample": _OPS_PER_CHAN_SAMPLE,
         "effective_teraops": round(eff_ops / 1e12, 3),
         "assumed_vpu_peak_teraops": _VPU_PEAK_OPS / 1e12,
-        "vpu_util_estimate": round(eff_ops / _VPU_PEAK_OPS, 3),
+        "measured_vpu_peak_teraops": measured,
+        "vpu_util": round(eff_ops / denom, 3),
     }))
     return 0
 

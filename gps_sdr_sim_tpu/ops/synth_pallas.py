@@ -94,9 +94,59 @@ _PACKED_Q0 = ((SIN_TABLE512[:128].astype(np.int64) & 0xFFFF)
               | (COS_TABLE512[:128].astype(np.int64) << 16)).astype(np.int32)
 
 
+# Output-format packing support (fmt kernels): samples per int32 output
+# word. fmt=16 packs one interleaved I/Q pair per word (bytewise identical
+# to the SC16 int16 stream), fmt=8 packs 2 pairs (the reference's >>4
+# bytes, gpssim.c:2278-2284), fmt=1 packs 16 pairs (sign bits MSB-first,
+# 4 pairs/byte, gpssim.c:2266-2277). Packing in the kernel epilogue means
+# the 1-bit stream never writes int16 to HBM at the full sample rate.
+PACK_DIV = {16: 1, 8: 2, 1: 16}
+
+
+def packed_supported(fmt: int) -> bool:
+    """Can the kernel epilogue pack this format at the current SUBBLOCK?
+
+    The epilogue emits whole 128-word output rows per sub-block, so the
+    slab row count must divide evenly into output rows. Env kill-switch
+    GPS_SDR_SIM_PACKED=0 forces the legacy two-ref + XLA-pack path for
+    A/B ablation."""
+    if _os.environ.get("GPS_SDR_SIM_PACKED", "1") == "0":
+        return False
+    return _pack_div_ok(fmt)
+
+
+def _pack_div_ok(fmt: int | None) -> bool:
+    """Structural support (independent of the A/B kill-switch)."""
+    return fmt in PACK_DIV and _SLAB % PACK_DIV[fmt] == 0
+
+
+def _row_select(scratch, g, levels: int, base_bit: int):
+    """Collapse 2^levels consecutive rows by lane-indexed bit selection.
+
+    g[r, w] holds, replicated across lane groups, the output word whose
+    final row is r >> levels and whose source row within the group is bits
+    [base_bit, base_bit+levels) of the lane index w. Returns
+    final[p, w] = g[(p << levels) + ((w >> base_bit) & (2^levels - 1)), w].
+
+    Even/odd row extraction bounces through a VMEM scratch ref: Mosaic
+    supports sublane-STRIDED ref loads but not strided value slices (a
+    stride-2 vector.extract_strided_slice fails verification, and jnp's
+    g[0::2] lowers to an unsupported gather).
+    """
+    for j in range(levels):
+        rows = g.shape[0]
+        scratch[0:rows, :] = g
+        a = scratch[0:rows:2, :]
+        b = scratch[1:rows:2, :]
+        bit = (jax.lax.broadcasted_iota(jnp.int32, (rows // 2, 128), 1)
+               >> (base_bit + j)) & 1
+        g = jnp.where(bit == 0, a, b)
+    return g
+
+
 def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                  uniform: bool = False, premult: bool = False,
-                 int_step: bool = True):
+                 int_step: bool = True, fmt: int | None = None):
     """quantize=False emits the raw int32 accumulators (pre-(acc+64)>>7)
     so a channel-sharded caller can psum partial sums over ICI before
     quantizing — the reference sums ALL channels first (gpssim.c:2192-2259),
@@ -118,14 +168,28 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
     int_step=False promises every code step is < 1 chip/sample (its 2^56
     bits >= 56 are zero — true at every sample rate above ~1.023 Msps;
     the caller gates on the actual limbs), skipping the integer-step lane
-    and its per-sample add."""
-    assert not (premult and not uniform), "premult requires uniform tiles"
+    and its per-sample add.
 
-    def kernel(params_ref, ca_ref, tbl_ref, i_ref, q_ref):
+    fmt in {16, 8, 1} (requires quantize) replaces the two int16 outputs
+    with ONE int32 word stream that is bytewise the final SC16/SC08/SC01
+    file format (see PACK_DIV) — the output packer of gpssim.c:2266-2288
+    fused into the epilogue, so nothing downstream re-reads the samples."""
+    assert not (premult and not uniform), "premult requires uniform tiles"
+    assert fmt is None or (quantize and _pack_div_ok(fmt))
+
+    def kernel(params_ref, ca_ref, tbl_ref, i_ref, q_ref=None):
+        # For fmt 8/1 the trailing ref is the row-select VMEM scratch
+        # (scratch_shapes), not a second output.
+        scratch = q_ref if fmt in (8, 1) else None
         shape = (_SLAB, 128)
+        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         # sample index within the sub-block
-        r = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * 128
-             + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+        r = jax.lax.broadcasted_iota(jnp.int32, shape, 0) * 128 + lane
+        if fmt == 1:
+            # In-word bit position of each lane's I sign bit: byte
+            # k = (lane%16)//4 of the little-endian word, MSB-first
+            # {I0,Q0,I1,Q1,I2,Q2,I3,Q3} within the byte.
+            shift_i = 8 * ((lane & 15) >> 2) + 7 - 2 * (lane & 3)
         tbl_b = jnp.broadcast_to(tbl_ref[0:1, :], shape)
         ca_b = [jnp.broadcast_to(ca_ref[c:c + 1, :], shape)
                 for c in range(n_chan)]
@@ -211,11 +275,11 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                 # the flip itself performs the sin<->cos swap of the
                 # odd quadrants. Quadrant signs: sin < 0 for qq in {2,3},
                 # cos < 0 for qq in {1,2}.
-                lane = i_tab & 127
+                tl = i_tab & 127
                 qq = i_tab >> 7
-                lane = jnp.where((qq & 1) == 1, 127 - lane, lane)
+                tl = jnp.where((qq & 1) == 1, 127 - tl, tl)
                 w = jnp.take_along_axis(
-                    tbl_c if premult else tbl_b, lane, axis=1)
+                    tbl_c if premult else tbl_b, tl, axis=1)
 
                 # The data sign (navbit*chip = -1 iff the bits differ) and
                 # the quadrant sign compose by XOR of their 0/-1 masks, and
@@ -235,7 +299,48 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                 qacc = qacc + ((gs ^ ns) - ns)
 
             sl = slice(s * _SLAB, (s + 1) * _SLAB)
-            if quantize:
+            if fmt is not None:
+                i16 = (iacc + 64) >> 7
+                q16 = (qacc + 64) >> 7
+                if fmt == 16:
+                    # Little-endian int32 word = interleaved int16 pair.
+                    i_ref[sl, :] = (i16 & 0xFFFF) | (q16 << 16)
+                elif fmt == 8:
+                    # Word = bytes {I0,Q0,I1,Q1}: per-lane halfword shifted
+                    # by parity, pair-summed (disjoint bits => sum == or),
+                    # then compacted to 128 words/row and row-pair
+                    # selected (bit 6 of the word lane picks the row).
+                    # The int16 wrap ((short) cast) happens BEFORE >>4,
+                    # like the reference's short buffer (gpssim.c:2280).
+                    iw = (i16 << 16) >> 16
+                    qw = (q16 << 16) >> 16
+                    v = (((iw >> 4) & 0xFF) | (((qw >> 4) & 0xFF) << 8)
+                         ) << (16 * (lane & 1))
+                    w32 = v + jnp.take_along_axis(v, (lane + 1) & 127,
+                                                  axis=1)
+                    g = jnp.take_along_axis(w32, (lane & 63) * 2, axis=1)
+                    d = PACK_DIV[8]
+                    i_ref[s * (_SLAB // d):(s + 1) * (_SLAB // d), :] = \
+                        _row_select(scratch, g, 1, 6)
+                else:  # fmt == 1
+                    # Word = 4 bytes x {I,Q,I,Q,...} sign bits MSB-first:
+                    # each lane's two bits land at disjoint positions, a
+                    # 4-step gather tree sums each 16-lane group, then
+                    # compact + 16-row select (bits [3,7) of the lane).
+                    # Sign of the int16-WRAPPED sample, like the
+                    # reference's short buffer (gpssim.c:2270-2273).
+                    iw = (i16 << 16) >> 16
+                    qw = (q16 << 16) >> 16
+                    v = ((iw > 0).astype(jnp.int32) << shift_i) \
+                        | ((qw > 0).astype(jnp.int32) << (shift_i - 1))
+                    for sh in (1, 2, 4, 8):
+                        v = v + jnp.take_along_axis(v, (lane + sh) & 127,
+                                                    axis=1)
+                    g = jnp.take_along_axis(v, (lane & 7) * 16, axis=1)
+                    d = PACK_DIV[1]
+                    i_ref[s * (_SLAB // d):(s + 1) * (_SLAB // d), :] = \
+                        _row_select(scratch, g, 4, 3)
+            elif quantize:
                 i_ref[sl, :] = ((iacc + 64) >> 7).astype(jnp.int16)
                 q_ref[sl, :] = ((qacc + 64) >> 7).astype(jnp.int16)
             else:
@@ -248,12 +353,14 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
 @lru_cache(maxsize=None)
 def _get_pallas_fn(n_chan: int, quantize: bool = True,
                    uniform: bool = False, tile_rows: int = 0,
-                   premult: bool = False, int_step: bool = True):
+                   premult: bool = False, int_step: bool = True,
+                   fmt: int | None = None):
     tile_rows = tile_rows or _TILE_ROWS
     kernel = _make_kernel(n_chan, tile_rows, quantize, uniform, premult,
-                          int_step)
+                          int_step, fmt)
     out_dtype = jnp.int16 if quantize else jnp.int32
     tbl = _PACKED_Q0.reshape(1, 128)
+    div = PACK_DIV[fmt] if fmt is not None else 1
 
     @jax.jit
     def run(params, ca_words):
@@ -261,7 +368,20 @@ def _get_pallas_fn(n_chan: int, quantize: bool = True,
         grid = (rows // tile_rows,)
         # gather operands must span 128 lanes; word indices are < 32
         ca_in = jnp.pad(ca_words, ((0, 0), (0, 128 - ca_words.shape[1])))
-        i16, q16 = pl.pallas_call(
+        out_rows = rows * _SLAB // div
+        blk_rows = tile_rows * _SLAB // div
+        if fmt is not None:
+            out_specs = pl.BlockSpec((blk_rows, 128), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((out_rows, 128), jnp.int32)
+        else:
+            out_specs = tuple(
+                pl.BlockSpec((blk_rows, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM) for _ in range(2))
+            out_shape = tuple(
+                jax.ShapeDtypeStruct((out_rows, 128), out_dtype)
+                for _ in range(2))
+        out = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
@@ -270,22 +390,22 @@ def _get_pallas_fn(n_chan: int, quantize: bool = True,
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # ca_words whole
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # packed trig table
             ],
-            out_specs=(
-                pl.BlockSpec((tile_rows * _SLAB, 128), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile_rows * _SLAB, 128), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((rows * _SLAB, 128), out_dtype),
-                jax.ShapeDtypeStruct((rows * _SLAB, 128), out_dtype),
-            ),
+            out_specs=out_specs,
+            out_shape=out_shape,
+            # fmt 8/1: VMEM bounce buffer for the strided row-select.
+            scratch_shapes=([pltpu.VMEM((_SLAB, 128), jnp.int32)]
+                            if fmt in (8, 1) else []),
             # Sub-block tiles are independent: let Mosaic split the grid
             # across TensorCores where the chip has them.
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",)),
             interpret=_interpret(),
         )(params, ca_in, jnp.asarray(tbl))
+        if fmt is not None:
+            # (rows*_SLAB/div, 128) flattens to the packed word stream in
+            # sample order; reshape is layout-preserving.
+            return out.reshape(rows, SUBBLOCK // div)
+        i16, q16 = out
         # (rows*_SLAB, 128) flattens to the same sample order as
         # (rows, SUBBLOCK); reshape is layout-preserving.
         return (i16.reshape(rows, SUBBLOCK), q16.reshape(rows, SUBBLOCK))
@@ -465,21 +585,52 @@ def _wire_to_params(wire, sub_blocks: int, align: bool = False):
 
 @lru_cache(maxsize=None)
 def _get_epoch_fn(n_chan: int, sub_blocks: int, n_out: int,
-                  premult: bool = False, int_step: bool = True):
+                  premult: bool = False, int_step: bool = True,
+                  fmt: int | None = 16):
+    """Packed fast path: wire -> [B, words] int32, the final byte stream.
+
+    Output words per epoch cover the tile-padded SBp * SUBBLOCK samples;
+    the valid prefix is packed_bytes(n_out, fmt) bytes (callers slice on
+    host, or see checksum_packed for device-side validation).
+
+    fmt=None is the legacy (round-2) path — two int16 kernel outputs
+    stacked by XLA into [B, n_out, 2] — kept for A/B ablation
+    (GPS_SDR_SIM_PACKED=0) and for SUBBLOCK values the packers don't
+    divide."""
     tile, SBp = _aligned_tile(sub_blocks)
     pallas_fn_inner = _get_pallas_fn(n_chan, uniform=True, tile_rows=tile,
-                                     premult=premult, int_step=int_step)
+                                     premult=premult, int_step=int_step,
+                                     fmt=fmt)
+    if fmt is None:
+        @jax.jit
+        def run_legacy(wire, ca_words):
+            B = wire.shape[0]
+            params, rows = _wire_to_params(wire, sub_blocks, align=True)
+            i16, q16 = pallas_fn_inner(params, ca_words)
+            iq = jnp.stack([i16.reshape(B, SBp * SUBBLOCK),
+                            q16.reshape(B, SBp * SUBBLOCK)], axis=-1)
+            return iq[:, :n_out]
+
+        return run_legacy
+
+    div = PACK_DIV[fmt]
 
     @jax.jit
     def run(wire, ca_words):
         B = wire.shape[0]
         params, rows = _wire_to_params(wire, sub_blocks, align=True)
-        i16, q16 = pallas_fn_inner(params, ca_words)
-        iq = jnp.stack([i16.reshape(B, SBp * SUBBLOCK),
-                        q16.reshape(B, SBp * SUBBLOCK)], axis=-1)
-        return iq[:, :n_out]
+        words = pallas_fn_inner(params, ca_words)
+        return words.reshape(B, SBp * SUBBLOCK // div)
 
     return run
+
+
+def packed_bytes(n_out: int, fmt: int) -> int:
+    """Valid output bytes per epoch of n_out samples in format `fmt`.
+
+    SC01 drops a trailing partial byte like the reference (loop bound
+    iq_buff_size/4, gpssim.c:2268)."""
+    return {16: n_out * 4, 8: n_out * 2, 1: n_out // 4}[fmt]
 
 
 # Per-segment C/A word tables are identical across every batch of the
@@ -531,11 +682,34 @@ def stage_epochs(eb):
             max(eb.n_chan, 1), premult_ok(eb.gain), int_step)
 
 
-def synth_staged(staged, n_out: int) -> jax.Array:
-    """Staged upload (stage_epochs) -> [B, n_out, 2] int16 on device."""
+def synth_staged_packed(staged, n_out: int, fmt: int = 16) -> jax.Array:
+    """Staged upload -> [B, words] int32: the packed output byte stream.
+
+    The fastest path: quantization AND format packing happen in the
+    kernel epilogue, so per epoch only packed_bytes(n_out, fmt) (+ tile
+    padding) ever reach HBM. Words viewed as little-endian bytes are the
+    final file stream; each epoch's valid prefix is
+    packed_bytes(n_out, fmt) bytes."""
     wire, ca_dev, n_chan, premult, int_step = staged
     sub_blocks = -(-n_out // SUBBLOCK)
-    fn = _get_epoch_fn(n_chan, sub_blocks, n_out, premult, int_step)
+    fn = _get_epoch_fn(n_chan, sub_blocks, n_out, premult, int_step, fmt)
+    return fn(wire, ca_dev)
+
+
+@jax.jit
+def _words_to_iq16(words):
+    # Little-endian halves: [..., 0] = bits [0,16) = I, [..., 1] = Q.
+    return jax.lax.bitcast_convert_type(words, jnp.int16)
+
+
+def synth_staged(staged, n_out: int) -> jax.Array:
+    """Staged upload (stage_epochs) -> [B, n_out, 2] int16 on device."""
+    if packed_supported(16):
+        return _words_to_iq16(
+            synth_staged_packed(staged, n_out, 16))[:, :n_out]
+    wire, ca_dev, n_chan, premult, int_step = staged
+    sub_blocks = -(-n_out // SUBBLOCK)
+    fn = _get_epoch_fn(n_chan, sub_blocks, n_out, premult, int_step, None)
     return fn(wire, ca_dev)
 
 

@@ -89,15 +89,18 @@ def _fetch_with_retry(dev, recompute, retries: int = 2,
     raise AssertionError("unreachable")
 
 
-def iter_seg_batches(scn: Scenario, lo: int, hi: int, batch_epochs: int):
+def iter_segment_batches(segments, lo: int, hi: int, batch_epochs: int):
     """Yield (segment, e0, e1) covering output epochs [lo, hi) in order.
 
     Output epoch k (0-based) is synthesized by segment-local epoch
     k - (first_epoch - 1) of the segment containing it; segments tile the
     output range contiguously, so any sub-range — a shard for one host, a
     resume after failure — maps to per-segment slices with no overlap.
+    `segments` may be any iterable, including the lazy stream from
+    models.scenario.build_scenario_streaming (day-scale runs plan each
+    30 s segment only when synthesis reaches it).
     """
-    for seg in scn.segments:
+    for seg in segments:
         s0 = seg.first_epoch - 1
         a, b = max(lo, s0), min(hi, s0 + seg.n_epochs)
         e = a - s0
@@ -105,6 +108,11 @@ def iter_seg_batches(scn: Scenario, lo: int, hi: int, batch_epochs: int):
             step = min(batch_epochs, (b - s0) - e)
             yield seg, e, e + step
             e += step
+
+
+def iter_seg_batches(scn: Scenario, lo: int, hi: int, batch_epochs: int):
+    """iter_segment_batches over a fully-materialized Scenario."""
+    return iter_segment_batches(scn.segments, lo, hi, batch_epochs)
 
 
 def run_epoch_range(scn: Scenario, fp: BinaryIO, lo: int, hi: int,
@@ -136,6 +144,11 @@ def run_epoch_range(scn: Scenario, fp: BinaryIO, lo: int, hi: int,
 
     n = scn.iq_buff_size
     fmt = scn.config.data_format
+    # Fast path: quantization + format packing fused into the kernel
+    # epilogue (synth_staged_packed) — the device emits the final byte
+    # stream; the host just slices each epoch's valid prefix.
+    packed = (impl == "pallas" and mesh is None
+              and synth_pallas.packed_supported(fmt))
     stats = RunStats()
     t_start = time.time()
 
@@ -148,7 +161,13 @@ def run_epoch_range(scn: Scenario, fp: BinaryIO, lo: int, hi: int,
         # errors (time-shared/tunneled chips) re-synthesize this batch.
         host = _fetch_with_retry(dev, recompute, log=log)
         t1 = time.time()
-        fp.write(np.ascontiguousarray(host[:valid]).data)
+        if packed:
+            from gps_sdr_sim_tpu.ops.quantize import words_to_bytes
+
+            fp.write(np.ascontiguousarray(
+                words_to_bytes(host[:valid], n, fmt)).data)
+        else:
+            fp.write(np.ascontiguousarray(host[:valid]).data)
         stats.fetch_seconds += t1 - t0
         stats.write_seconds += time.time() - t1
 
@@ -180,8 +199,11 @@ def run_epoch_range(scn: Scenario, fp: BinaryIO, lo: int, hi: int,
                             batch_epochs)
             return pack(synth_batch_sharded(db, n, mesh), fmt)
         if impl == "pallas":
-            return pack(synth_pallas.synth_epochs(pad_epochs(
-                plan_epochs(seg, e, e1, scn.delt), batch_epochs), n), fmt)
+            eb = pad_epochs(plan_epochs(seg, e, e1, scn.delt), batch_epochs)
+            if packed:
+                return synth_pallas.synth_staged_packed(
+                    synth_pallas.stage_epochs(eb), n, fmt)
+            return pack(synth_pallas.synth_epochs(eb, n), fmt)
         db = _pad_batch(plan_batch(seg, e, e1, n, scn.delt), batch_epochs)
         return pack(synth_jnp.synth_batch(db, n), fmt)
 
@@ -191,8 +213,10 @@ def run_epoch_range(scn: Scenario, fp: BinaryIO, lo: int, hi: int,
         if staged_stream is not None:
             # Single-chip pallas hot path: consume the pre-staged upload.
             staged, _item = next(staged_stream)
-            iq = synth_pallas.synth_staged(staged, n)  # async dispatch
-            out = pack(iq, fmt)
+            if packed:  # format packing fused into the kernel epilogue
+                out = synth_pallas.synth_staged_packed(staged, n, fmt)
+            else:
+                out = pack(synth_pallas.synth_staged(staged, n), fmt)
         else:
             out = compute(seg, e, e1)
         try:
