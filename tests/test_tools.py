@@ -266,6 +266,35 @@ def test_bytering_wait_drained_timeout():
     ring.free()
 
 
+def test_vendor_backends_compile_against_mock_sdks():
+    """`make -C tools vendor-check` type-checks ALL vendor-gated backend
+    code (HAVE_LIBBLADERF/LIBHACKRF/LIMESUITE/LIBIIO/LIBAD9361) against
+    mock SDK headers carrying the real signatures — no SDK exists in CI,
+    so without this the gated ~350 lines never meet a compiler."""
+    r = subprocess.run(["make", "-C", str(TOOLS), "vendor-check"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_vendor_check_catches_typos(tmp_path):
+    """The mock-SDK compile is strict enough that a wrong call in a gated
+    block fails it (arity error injected into the bladeRF block)."""
+    src = (TOOLS / "sdr_backends.cpp").read_text()
+    broken = src.replace("bladerf_set_txvga1(dev, cfg.tx_gain)",
+                         "bladerf_set_txvga1(dev)")
+    assert broken != src
+    bad = tmp_path / "sdr_backends_typo.cpp"
+    bad.write_text(broken)
+    r = subprocess.run(
+        ["g++", "-std=c++17", "-fsyntax-only",
+         "-I" + str(TOOLS / "mock_sdk"), "-I" + str(TOOLS),
+         "-DHAVE_LIBBLADERF", "-DHAVE_LIBHACKRF", "-DHAVE_LIMESUITE",
+         "-DHAVE_LIBIIO", "-DHAVE_LIBAD9361", str(bad)],
+        capture_output=True, text=True)
+    assert r.returncode != 0
+    assert "too few arguments" in r.stderr
+
+
 def test_player_vendor_backends_fail_cleanly(tmp_path):
     """Without vendor SDKs at build time, each backend is recognized and
     fails with the compiled-out message (not a usage error)."""
