@@ -234,7 +234,33 @@ def _select_ephem_set(eph, neph, g0: GpsTime) -> int:
 
 
 def build_scenario(cfg: ScenarioConfig) -> Scenario:
-    """Build the full host-side plan for a simulation run."""
+    """Build the full host-side plan for a simulation run.
+
+    Materializes every segment up front (fine up to a few hours; ~640 B
+    per epoch-channel of plan state). For day-scale runs use
+    build_scenario_streaming, which plans segments lazily in step with
+    synthesis so host memory stays at one 30 s segment.
+    """
+    scn, engine = _prepare_scenario(cfg)
+    scn.segments, scn.channel_tables = engine.run()
+    return scn
+
+
+def build_scenario_streaming(cfg: ScenarioConfig):
+    """Lazy variant of build_scenario for long-context (day-scale) runs.
+
+    Returns (scenario, engine): scenario.segments is EMPTY; iterate
+    engine.iter_run() to receive Segments one 30 s allocation span at a
+    time (the reference's own cadence, gpssim.c:2293-2345). Planning
+    happens on demand, so peak memory is one segment's state instead of
+    the whole run's. engine.tables accumulates the stderr channel-table
+    snapshots as planning advances.
+    """
+    return _prepare_scenario(cfg)
+
+
+def _prepare_scenario(cfg: ScenarioConfig):
+    """Shared setup: parse inputs, resolve time, build the epoch engine."""
     if cfg.carrier_phase_mode not in ("float", "fixed"):
         raise ScenarioError(
             f"Invalid carrier phase mode: {cfg.carrier_phase_mode}")
@@ -310,13 +336,13 @@ def build_scenario(cfg: ScenarioConfig) -> Scenario:
 
     engine = _Engine(cfg, eph, neph, ionoutc, g0, grx_week, grx_sec,
                      xyz_ep, numd, iq_buff_size, delt)
-    segments, tables = engine.run()
-
-    return Scenario(
+    scn = Scenario(
         config=cfg, g0=g0, t0=t0, numd=numd, iq_buff_size=iq_buff_size,
-        samp_freq=samp_freq, delt=delt, segments=segments,
-        channel_tables=tables, ionoutc=ionoutc, ionoutc_file=ionoutc_file,
+        samp_freq=samp_freq, delt=delt, segments=[],
+        channel_tables=engine.tables, ionoutc=ionoutc,
+        ionoutc_file=ionoutc_file,
     )
+    return scn, engine
 
 
 class _Engine:
@@ -341,6 +367,7 @@ class _Engine:
         self.chan = [_Channel() for _ in range(MAX_CHAN)]
         self.allocated_sat = [-1] * MAX_SAT
         self._fields_cache = {}
+        self.tables = []  # stderr channel-table snapshots, filled by run
 
     # -- helpers ---------------------------------------------------------
 
@@ -412,15 +439,24 @@ class _Engine:
     # -- main ------------------------------------------------------------
 
     def run(self):
-        segments: List[Segment] = []
-        tables = []
+        return list(self.iter_run()), self.tables
+
+    def iter_run(self):
+        """Lazily yield Segments in output order (single pass).
+
+        Channel state advances sequentially (the reference's epoch loop);
+        tables snapshots accumulate on self.tables as planning reaches
+        each 30 s boundary. Memory stays at one segment's plan state —
+        the long-context mode (SURVEY.md §2.4/§5).
+        """
+        self.tables.clear()  # in place: Scenario.channel_tables aliases it
 
         # Initial allocation at grx = g0 (gpssim.c:2126-2136).
         self._allocate(0)
-        tables.append(self._table_snapshot(0))
+        self.tables.append(self._table_snapshot(0))
 
         if self.numd <= 1:
-            return segments, tables
+            return
 
         # 30 s boundaries: epochs e in [1, numd-1] where the absolute GPS
         # time is a multiple of 30 s (gpssim.c:2294-2296).
@@ -433,15 +469,13 @@ class _Engine:
             end = seg_start
             while end < self.numd - 1 and not is_boundary[end]:
                 end += 1
-            segments.append(self._run_segment(seg_start, end))
+            yield self._run_segment(seg_start, end)
 
             if is_boundary[end]:
                 self._boundary(end)
                 if self.cfg.verbose:
-                    tables.append(self._table_snapshot(end))
+                    self.tables.append(self._table_snapshot(end))
             seg_start = end + 1
-
-        return segments, tables
 
     def _run_segment(self, start: int, end: int) -> Segment:
         """Vectorized per-epoch state for epochs [start, end] (inclusive)."""

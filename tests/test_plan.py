@@ -70,3 +70,36 @@ def test_plan_batch_and_plan_epochs_share_step_quantization():
 
         np.testing.assert_array_equal(db.code_s, limbs16_from8(eb.code_s8))
         np.testing.assert_array_equal(db.carr_s, limbs16_from8(eb.carr_s8))
+
+
+def test_streaming_scenario_matches_materialized():
+    """build_scenario_streaming must yield the exact segments (and channel
+    tables) of the materialized build — the lazy day-scale planner is the
+    same engine, just pulled on demand."""
+    import dataclasses
+
+    from gps_sdr_sim_tpu.constants import R2D
+    from gps_sdr_sim_tpu.models.scenario import (
+        ScenarioConfig, build_scenario, build_scenario_streaming)
+    from gps_sdr_sim_tpu.utils.coord import llh2xyz
+
+    cfg = ScenarioConfig(
+        nav_file="data/brdc3540.14n", duration=65.0, samp_freq=1.0e6,
+        verbose=True,
+        static_xyz=llh2xyz(np.array([35.681298 / R2D, 139.766247 / R2D,
+                                     10.0])))
+    want = build_scenario(cfg)
+    scn, engine = build_scenario_streaming(cfg)
+    assert scn.segments == []
+    got = list(engine.iter_run())
+
+    assert len(got) == len(want.segments) > 1  # crosses 30 s boundaries
+    for a, b in zip(got, want.segments):
+        for f in dataclasses.fields(a):
+            va, vb = getattr(a, f.name), getattr(b, f.name)
+            if isinstance(va, np.ndarray):
+                np.testing.assert_array_equal(va, vb, err_msg=f.name)
+            else:
+                assert va == vb, f.name
+    assert engine.tables == want.channel_tables
+    assert scn.channel_tables is engine.tables  # alias survives iteration

@@ -1,0 +1,251 @@
+"""Full-day (86,400 s) static run — the reference's maximum duration
+(gpssim.h:24, duration check gpssim.c:1869-1874) executed end-to-end.
+
+The run exercises the long-context design at full scale: 864,000 epochs /
+2.25e11 samples at 2.6 Msps, planned LAZILY (models.scenario.
+build_scenario_streaming keeps host memory at one 30 s segment instead of
+~700 MB of materialized plan state) while the TPU synthesizes
+device-materialized batches with per-batch checksums + nonzero counts.
+Sampled epoch blocks are read back and saved so a separately-run C oracle
+pass (--phase oracle, ~5.5 h of single-core C at 2.6 Msps) can diff them.
+
+Phases (separable so the oracle's hours of CPU can overlap other work):
+  synth   : plan + synthesize the full day on the default backend; saves
+            sampled blocks to --blocks-file and stats to --json.
+  oracle  : stream the C reference's stdout through the block sampler
+            (tools/deepcheck.py machinery), diff against --blocks-file,
+            and merge the result into --json.
+
+Usage:
+  python tools/dayrun.py --phase synth  --json DAYRUN_r03.json
+  python tools/dayrun.py --phase oracle --json DAYRUN_r03.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import resource
+import sys
+import time
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "tools"))
+
+LOC = "35.681298,139.766247,10.0"
+
+
+def _cfg(ns):
+    from gps_sdr_sim_tpu.constants import R2D
+    from gps_sdr_sim_tpu.models.scenario import ScenarioConfig
+    from gps_sdr_sim_tpu.utils.coord import llh2xyz
+
+    lat, lon, hgt = (float(v) for v in LOC.split(","))
+    return ScenarioConfig(
+        nav_file=str(ROOT / "data" / "brdc3540.14n"),
+        samp_freq=ns.samp_freq, duration=ns.duration,
+        static_xyz=llh2xyz(np.array([lat / R2D, lon / R2D, hgt])))
+
+
+def phase_synth(ns) -> int:
+    from gps_sdr_sim_tpu.utils.compcache import enable as enable_cache
+
+    enable_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from deepcheck import pick_blocks
+    from gps_sdr_sim_tpu.models.scenario import build_scenario_streaming
+    from gps_sdr_sim_tpu.ops import synth_pallas
+    from gps_sdr_sim_tpu.ops.plan import pad_epochs, plan_epochs
+    from gps_sdr_sim_tpu.ops.quantize import checksum_packed, words_to_bytes
+    from gps_sdr_sim_tpu.runner import _fetch_with_retry, iter_segment_batches
+
+    t0 = time.time()
+    scn, engine = build_scenario_streaming(_cfg(ns))
+    n = scn.iq_buff_size
+    B = ns.batch_epochs
+    total = scn.n_output_epochs
+    print(f"day run: {total} epochs, {scn.total_samples:,} samples, "
+          f"streaming-planned", file=sys.stderr)
+
+    blocks = pick_blocks(scn, ns.block_epochs, ns.filler_blocks)
+    print(f"sampling {len(blocks)} oracle blocks", file=sys.stderr)
+    sampled: dict = {}
+
+    plan_s = 0.0
+    sums = []
+    nz_min = 1 << 62
+    batches = 0
+    t_run = time.time()
+
+    def _stage(item):
+        nonlocal plan_s
+        seg, e0, e1 = item
+        t = time.time()
+        staged = synth_pallas.stage_epochs(
+            pad_epochs(plan_epochs(seg, e0, e1, scn.delt), B))
+        plan_s += time.time() - t
+        return staged
+
+    def batch_gen():
+        nonlocal plan_s
+        it = iter_segment_batches(engine.iter_run(), 0, total, B)
+        while True:
+            t = time.time()  # segment planning happens inside next()
+            item = next(it, None)
+            plan_s += time.time() - t
+            if item is None:
+                return
+            yield item
+
+    stream = synth_pallas.iter_staged(batch_gen(), _stage)
+    pending_sums = []  # device scalars; drained in bulk
+    for staged, (seg, e0, e1) in stream:
+        words = synth_pallas.synth_staged_packed(staged, n, ns.fmt)
+        s, z = checksum_packed(words, e1 - e0, n, ns.fmt)
+        pending_sums.append((s, z))
+        out_lo = seg.first_epoch - 1 + e0
+        out_hi = seg.first_epoch - 1 + e1
+        for blo, bhi in blocks:
+            a, b = max(blo, out_lo), min(bhi, out_hi)
+            if a < b:  # fetch this batch's slice of a sampled block
+                host = _fetch_with_retry(
+                    words, lambda: synth_pallas.synth_staged_packed(
+                        _stage((seg, e0, e1)), n, ns.fmt))
+                by = words_to_bytes(host[:e1 - e0], n, ns.fmt)
+                sampled.setdefault(blo, []).append(
+                    bytes(np.ascontiguousarray(by[a - out_lo:b - out_lo])))
+        batches += 1
+        if batches % 20 == 0:
+            # Drain checksums in ONE transfer: forces device sync, which
+            # bounds in-flight batch buffers (each ~100 MB of HBM) while
+            # keeping the dispatch pipeline ~20 batches deep.
+            drained = np.asarray(jnp.stack(
+                [jnp.stack(p) for p in pending_sums]))
+            sums.extend(int(v) for v in drained[:, 0])
+            nz_min = min(nz_min, int(drained[:, 1].min()))
+            pending_sums.clear()
+            done = out_hi / total
+            rate = out_hi * n / (time.time() - t_run)
+            print(f"\r{done * 100:5.1f}%  {rate / 1e9:.2f} Gsamples/s  "
+                  f"plan {plan_s:.0f} s", end="", file=sys.stderr)
+    if pending_sums:
+        drained = np.asarray(jnp.stack([jnp.stack(p) for p in pending_sums]))
+        sums.extend(int(v) for v in drained[:, 0])
+        nz_min = min(nz_min, int(drained[:, 1].min()))
+    wall = time.time() - t_run
+    print(file=sys.stderr)
+
+    rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    csum = int(np.asarray(jnp.sum(jnp.asarray(sums, dtype=jnp.int32))))
+    stats = {
+        "metric": "day_run_86400s",
+        "duration_s": ns.duration, "samp_freq": ns.samp_freq,
+        "fmt": ns.fmt, "epochs": total,
+        "total_samples": scn.total_samples,
+        "wall_s": round(wall, 1),
+        "build_s": round(t_run - t0, 2),
+        "plan_s": round(plan_s, 1),
+        "plan_epochs_per_s": round(total / max(plan_s, 1e-9), 1),
+        "realtime_factor": round(ns.duration / wall, 1),
+        "samples_per_s": round(scn.total_samples / wall / 1e9, 3),
+        "peak_rss_mb": round(rss_mb, 1),
+        "checksum_wrapped_int32": csum,
+        "min_batch_nonzero": nz_min,
+        "all_batches_nonzero": nz_min > 0,
+        "sampled_blocks": [[lo, hi] for lo, hi in blocks],
+        "oracle": "pending (run --phase oracle)",
+    }
+    np.savez_compressed(
+        ns.blocks_file,
+        **{f"b{lo}": np.frombuffer(b"".join(parts), np.uint8)
+           for lo, parts in sampled.items()})
+    pathlib.Path(ns.json).write_text(json.dumps(stats, indent=1))
+    print(json.dumps({k: v for k, v in stats.items()
+                      if k != "sampled_blocks"}))
+    return 0
+
+
+def phase_oracle(ns) -> int:
+    import tempfile
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from deepcheck import build_oracle, stream_sample
+
+    stats = json.loads(pathlib.Path(ns.json).read_text())
+    blocks = [tuple(b) for b in stats["sampled_blocks"]]
+    saved = np.load(ns.blocks_file)
+
+    n = int(stats["total_samples"] // stats["epochs"])
+    bpe = {16: n * 4, 8: n * 2, 1: n // 4}[stats["fmt"]]
+    fmt_flag = {16: "16", 8: "8", 1: "1"}[stats["fmt"]]
+    total_bytes = stats["epochs"] * bpe
+    ranges_bytes = [(lo * bpe, hi * bpe) for lo, hi in blocks]
+
+    with tempfile.TemporaryDirectory() as td:
+        oracle = build_oracle(pathlib.Path(td))
+        t0 = time.time()
+        kept = stream_sample(
+            [str(oracle), "-e", str(ROOT / "data" / "brdc3540.14n"),
+             "-l", LOC, "-d", str(stats["duration_s"]),
+             "-s", str(int(stats["samp_freq"])), "-b", fmt_flag, "-o", "-"],
+            ranges_bytes, total_bytes)
+        oracle_s = time.time() - t0
+    print(f"oracle run: {oracle_s:.0f} s", file=sys.stderr)
+
+    report = []
+    worst = {"frac": 0.0, "max": 0, "big": 0}
+    for (lo, hi), (blo, _bhi) in zip(blocks, ranges_bytes):
+        a = saved[f"b{lo}"].view(np.int16).astype(np.int32)
+        b = np.frombuffer(bytes(kept[blo]), np.int16).astype(np.int32)
+        assert a.size == b.size, (lo, hi, a.size, b.size)
+        d = np.abs(a - b)
+        frac = float(np.count_nonzero(d) / d.size)
+        entry = {"epochs": [lo, hi], "t_start_s": round(lo * 0.1, 1),
+                 "mismatch_fraction": round(frac, 8),
+                 "max_delta": int(d.max(initial=0)),
+                 "big": int(np.count_nonzero(d > 8))}
+        report.append(entry)
+        worst["frac"] = max(worst["frac"], frac)
+        worst["max"] = max(worst["max"], entry["max_delta"])
+        worst["big"] += entry["big"]
+        print(json.dumps(entry), file=sys.stderr)
+
+    ok = worst["frac"] <= 1e-4 and worst["max"] <= 8 and worst["big"] == 0
+    stats["oracle"] = {
+        "oracle_wall_s": round(oracle_s, 1),
+        "worst_mismatch_fraction": worst["frac"],
+        "worst_max_delta": worst["max"], "big_mismatches": worst["big"],
+        "pass": ok, "detail": report,
+    }
+    pathlib.Path(ns.json).write_text(json.dumps(stats, indent=1))
+    print(json.dumps({"oracle_pass": ok, **{k: v for k, v in
+                      stats["oracle"].items() if k != "detail"}}))
+    return 0 if ok else 1
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", default="synth", choices=("synth", "oracle"))
+    ap.add_argument("--duration", type=float, default=86400.0)
+    ap.add_argument("--samp-freq", type=float, default=2.6e6)
+    ap.add_argument("--fmt", type=int, default=16, choices=(16, 8, 1))
+    ap.add_argument("--batch-epochs", type=int, default=100)
+    ap.add_argument("--block-epochs", type=int, default=20)
+    ap.add_argument("--filler-blocks", type=int, default=8)
+    ap.add_argument("--json", default=str(ROOT / "DAYRUN_r03.json"))
+    ap.add_argument("--blocks-file",
+                    default=str(ROOT / ".dayrun_blocks.npz"))
+    ns = ap.parse_args()
+    return phase_synth(ns) if ns.phase == "synth" else phase_oracle(ns)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
