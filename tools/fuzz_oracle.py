@@ -73,12 +73,22 @@ def gen_case(rng: np.random.Generator) -> dict:
                float(rng.integers(1_000_000, 3_500_000))]
     fs = float(rng.choice(fs_pool))
     dur = round(float(rng.uniform(0.4, 2.0)), 1)
-    fixed_carr = bool(rng.random() < 0.2)
+    # ~1/3 of cases run the 32-bit fixed-point carrier NCO, independent of
+    # every other axis so it crosses -T, NMEA, and spacecraft trajectories
+    # (round-2 verdict: the fuzz matrix was thin on the new mode).
+    fixed_carr = bool(rng.random() < 0.35)
     argv = ["-e", NAV, "-s", f"{fs:.0f}", "-b", str(bits), "-d", str(dur)]
     if mode == "static":
         lat = float(rng.uniform(-65.0, 70.0))
         lon = float(rng.uniform(-180.0, 180.0))
-        hgt = float(rng.integers(0, 8000))
+        if rng.random() < 0.25:
+            # High-altitude receiver (up to ~9,000 km): satellites pass
+            # inside 20,200 km so the amplitude model exceeds the
+            # premultiplied-table gain bound and the Pallas kernel takes
+            # its in-mix fallback (spacecraft regime, gpssim.c:2178-2186).
+            hgt = float(rng.integers(100_000, 9_000_000))
+        else:
+            hgt = float(rng.integers(0, 8000))
         if rng.random() < 0.3:  # ECEF form, negative operands likely
             x, y, z = llh2xyz((lat, lon, hgt))
             argv += ["-c", f"{x:.1f},{y:.1f},{z:.1f}"]
