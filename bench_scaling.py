@@ -25,6 +25,78 @@ import time
 import numpy as np
 
 
+def _multihost_sweep(proc_counts) -> int:
+    """Wall-time scaling of the real multi-process DCN path.
+
+    Each point launches N `gps_sdr_sim_tpu.cli --multihost` processes
+    joined through a localhost jax.distributed coordinator; every process
+    synthesizes its interleaved time-shards (parallel/writer.py) on the
+    CPU backend, and process 0 concatenates. Efficiency is wall-time
+    speedup vs the 1-process point over the identical workload — this
+    measures the machinery SCALING claims are about (coordination, shard
+    writing, concat), unlike a virtual in-process mesh.
+    """
+    import os
+    import pathlib
+    import socket
+    import subprocess
+    import tempfile
+
+    root = pathlib.Path(__file__).parent
+    args = ["-e", "data/brdc3540.14n", "-l", "35.681298,139.766247,10.0",
+            "-d", "8", "-s", "1000000", "--impl", "xla",
+            "--batch-epochs", "10"]
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(root))
+    env.pop("XLA_FLAGS", None)  # one device per process
+    n_samples = 79 * 100000  # 8 s @ 1 Msps: (numd-1) epochs x iq_buff
+
+    base = None
+    for n in proc_counts:
+        with tempfile.TemporaryDirectory() as td:
+            out = pathlib.Path(td) / "out.bin"
+            t0 = time.time()
+            if n == 1:
+                subprocess.run(
+                    [sys.executable, "-m", "gps_sdr_sim_tpu.cli", *args,
+                     "-o", str(out)],
+                    cwd=root, env=env, check=True, capture_output=True,
+                    timeout=1200)
+            else:
+                with socket.socket() as s:
+                    s.bind(("127.0.0.1", 0))
+                    port = s.getsockname()[1]
+                procs = [
+                    subprocess.Popen(
+                        [sys.executable, "-m", "gps_sdr_sim_tpu.cli", *args,
+                         "-o", str(out), "--shard-dir", str(td + "/sh"),
+                         "--shards", str(2 * n), "--concat",
+                         "--multihost", f"127.0.0.1:{port},{pid},{n}"],
+                        cwd=root, env=env, stdout=subprocess.DEVNULL,
+                        stderr=subprocess.PIPE)
+                    for pid in range(n)
+                ]
+                for p in procs:
+                    _, err = p.communicate(timeout=1200)
+                    if p.returncode != 0:
+                        print(err.decode()[-2000:], file=sys.stderr)
+                        return 1
+            wall = time.time() - t0
+            assert out.stat().st_size == n_samples * 4, out.stat().st_size
+        rate = n_samples / wall
+        if base is None:
+            base = rate
+        print(json.dumps({
+            "metric": "multihost_scaling_samples_per_sec",
+            "processes": n, "wall_s": round(wall, 2),
+            "value": round(rate / 1e6, 2), "unit": "Msamples_per_sec",
+            "efficiency_vs_1proc": round(rate / (base * n), 3),
+            "note": "real jax.distributed processes over localhost DCN, "
+                    "CPU backend, incl. startup + shard concat",
+        }))
+        sys.stdout.flush()
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs-per-device", type=int, default=8)
@@ -37,7 +109,16 @@ def main() -> int:
                     help="pallas = fused kernel over pre-packed params; "
                          "pallas-wire = the production pod path (compact "
                          "wire upload + per-device rebase)")
+    ap.add_argument("--multihost", default="",
+                    help="comma list of process counts (e.g. 1,2,4): "
+                         "instead of the in-process mesh sweep, launch N "
+                         "jax.distributed CLI processes over localhost DCN "
+                         "(parallel/writer.py shards) and report wall-time "
+                         "scaling of the REAL multi-process path")
     ns = ap.parse_args()
+
+    if ns.multihost:
+        return _multihost_sweep([int(v) for v in ns.multihost.split(",")])
 
     import os
 
@@ -104,12 +185,22 @@ def main() -> int:
         if base_rate is None:
             base_rate = rate
         eff = rate / (base_rate * n)
-        print(json.dumps({
+        row = {
             "metric": "scaling_samples_per_sec",
             "devices": n, "mesh": list(mesh.shape.items()),
             "value": round(rate / 1e6, 1), "unit": "Msamples_per_sec",
             "efficiency_vs_1dev": round(eff, 3),
-        }))
+        }
+        if ns.impl.startswith("pallas") and jax.default_backend() == "cpu":
+            # Pallas has no CPU backend; these rows execute interpret=True
+            # (ops/synth_pallas.py::_interpret) and measure the Python
+            # interpreter, NOT the sharding. Only xla rows (and real-TPU
+            # pallas runs) are meaningful for efficiency claims.
+            row["interpreter_mode"] = True
+            row["note"] = ("pallas interpret=True on CPU — measures the "
+                           "interpreter, not the sharding; use the xla "
+                           "impl for CPU-mesh efficiency")
+        print(json.dumps(row))
         sys.stdout.flush()
     return 0
 

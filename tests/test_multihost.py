@@ -13,6 +13,9 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
+
+pytestmark = [pytest.mark.slow]
 
 ROOT = pathlib.Path(__file__).parent.parent
 ARGS = ["-e", "data/brdc3540.14n", "-l", "35.681298,139.766247,10.0",

@@ -20,6 +20,8 @@ import pytest
 from gps_sdr_sim_tpu.models.scenario import ScenarioConfig, build_scenario
 from gps_sdr_sim_tpu.runner import run_simulation
 
+pytestmark = [pytest.mark.oracle, pytest.mark.slow]
+
 REF = pathlib.Path("/root/reference")
 NAV = "data/brdc3540.14n"
 LOC = "35.681298,139.766247,10.0"

@@ -19,6 +19,8 @@ from gps_sdr_sim_tpu.receiver import (acquire, bit_sync, decode_bits,
 from gps_sdr_sim_tpu.runner import run_simulation
 from gps_sdr_sim_tpu.utils.coord import llh2xyz
 
+pytestmark = [pytest.mark.receiver, pytest.mark.slow]
+
 FS = 2.048e6
 DURATION = 7.6  # covers one full subframe even after pull-in + prop delay
 

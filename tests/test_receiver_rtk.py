@@ -29,6 +29,8 @@ from gps_sdr_sim_tpu.receiver.rtk import solve_baseline
 from gps_sdr_sim_tpu.runner import run_simulation
 from gps_sdr_sim_tpu.utils.coord import llh2xyz
 
+pytestmark = [pytest.mark.receiver, pytest.mark.slow]
+
 FS = 2.048e6
 DURATION = 26.0  # covers subframes 1-4: ephemeris + iono decode
 
