@@ -25,7 +25,40 @@ import time
 import numpy as np
 
 
-def _multihost_sweep(proc_counts) -> int:
+def _load_rows(ns):
+    """Seed from an existing artifact so the virtual-mesh sweep and the
+    --multihost sweep (separate invocations) merge into ONE file."""
+    import pathlib
+
+    if ns.json and pathlib.Path(ns.json).exists():
+        try:
+            return json.loads(pathlib.Path(ns.json).read_text())["rows"]
+        except Exception:
+            return []
+    return []
+
+
+def _emit(rows, ns, row):
+    print(json.dumps(row))
+    sys.stdout.flush()
+    rows.append(row)
+    if ns.json:
+        import os
+        import pathlib
+
+        pathlib.Path(ns.json).write_text(json.dumps({
+            "metric": "scaling_sweep",
+            "host_physical_cpus": os.cpu_count(),
+            "note": ("this container exposes ONE physical CPU core: every "
+                     "virtual-device and multi-process CPU row timeshares "
+                     "that core, so 'efficiency' here measures machinery "
+                     "overhead (throughput retention), not parallel "
+                     "speedup — real speedup needs real chips (the driver "
+                     "validates the multi-chip path via dryrun_multichip)"),
+            "rows": rows}, indent=1))
+
+
+def _multihost_sweep(proc_counts, ns) -> int:
     """Wall-time scaling of the real multi-process DCN path.
 
     Each point launches N `gps_sdr_sim_tpu.cli --multihost` processes
@@ -50,6 +83,7 @@ def _multihost_sweep(proc_counts) -> int:
     env.pop("XLA_FLAGS", None)  # one device per process
     n_samples = 79 * 100000  # 8 s @ 1 Msps: (numd-1) epochs x iq_buff
 
+    rows = _load_rows(ns)
     base = None
     for n in proc_counts:
         with tempfile.TemporaryDirectory() as td:
@@ -85,15 +119,14 @@ def _multihost_sweep(proc_counts) -> int:
         rate = n_samples / wall
         if base is None:
             base = rate
-        print(json.dumps({
+        _emit(rows, ns, {
             "metric": "multihost_scaling_samples_per_sec",
             "processes": n, "wall_s": round(wall, 2),
             "value": round(rate / 1e6, 2), "unit": "Msamples_per_sec",
             "efficiency_vs_1proc": round(rate / (base * n), 3),
             "note": "real jax.distributed processes over localhost DCN, "
                     "CPU backend, incl. startup + shard concat",
-        }))
-        sys.stdout.flush()
+        })
     return 0
 
 
@@ -115,10 +148,14 @@ def main() -> int:
                          "jax.distributed CLI processes over localhost DCN "
                          "(parallel/writer.py shards) and report wall-time "
                          "scaling of the REAL multi-process path")
+    ap.add_argument("--json", default="",
+                    help="also write rows + host-topology caveats to this "
+                         "artifact file (e.g. SCALING_r03.json)")
     ns = ap.parse_args()
 
     if ns.multihost:
-        return _multihost_sweep([int(v) for v in ns.multihost.split(",")])
+        return _multihost_sweep([int(v) for v in ns.multihost.split(",")],
+                                ns)
 
     import os
 
@@ -154,6 +191,7 @@ def main() -> int:
     scn = build_scenario(cfg)
     seg = scn.segments[0]
 
+    rows = _load_rows(ns)
     base_rate = None
     for n in sizes:
         if n > 1 and n % ns.chan_axis:
@@ -200,8 +238,7 @@ def main() -> int:
             row["note"] = ("pallas interpret=True on CPU — measures the "
                            "interpreter, not the sharding; use the xla "
                            "impl for CPU-mesh efficiency")
-        print(json.dumps(row))
-        sys.stdout.flush()
+        _emit(rows, ns, row)
     return 0
 
 

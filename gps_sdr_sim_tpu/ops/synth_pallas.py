@@ -80,6 +80,17 @@ def _interpret() -> bool:
     """Pallas has no CPU backend; tests on CPU run the interpreter."""
     return jax.default_backend() == "cpu"
 
+
+# Cost-attribution knob for tools/profile_kernel.py ONLY. A comma list of
+# {no_ca_gather, no_trig_gather} stubs that cost center out of the kernel
+# with a same-shape ALU stand-in, so timing deltas against the full kernel
+# attribute its cycles (the tpu.dynamic_gather per C/A word and per trig
+# pair are the two candidate dominators — VPU_PEAK.json measures one
+# gather at ~42 ALU-op equivalents). Ablated kernels produce WRONG
+# samples; nothing outside the profiler may set this.
+_ABLATE = frozenset(
+    filter(None, _os.environ.get("GPS_SDR_SIM_ABLATE", "").split(",")))
+
 _INV20 = np.float32(1.0 / 20.0)
 
 # _select32/_trig_formula (shared with ops/synth_jnp.py) are not used by
@@ -250,7 +261,10 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                 chip = T - CA_SEQ_LEN * M
 
                 # C/A chip: one lane-gather of the bit-packed word
-                word = jnp.take_along_axis(ca_b[c], chip >> 5, axis=1)
+                if "no_ca_gather" in _ABLATE:
+                    word = chip + lane  # profiler stand-in (WRONG samples)
+                else:
+                    word = jnp.take_along_axis(ca_b[c], chip >> 5, axis=1)
                 ca_bit = (word >> (chip & 31)) & 1
 
                 mg = p(_P_M0) + M
@@ -278,8 +292,11 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                 tl = i_tab & 127
                 qq = i_tab >> 7
                 tl = jnp.where((qq & 1) == 1, 127 - tl, tl)
-                w = jnp.take_along_axis(
-                    tbl_c if premult else tbl_b, tl, axis=1)
+                if "no_trig_gather" in _ABLATE:
+                    w = tl | (tl << 16)  # profiler stand-in (WRONG samples)
+                else:
+                    w = jnp.take_along_axis(
+                        tbl_c if premult else tbl_b, tl, axis=1)
 
                 # The data sign (navbit*chip = -1 iff the bits differ) and
                 # the quadrant sign compose by XOR of their 0/-1 masks, and

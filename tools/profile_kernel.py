@@ -1,0 +1,199 @@
+"""Cost attribution for the fused synthesis kernel (ops/synth_pallas.py).
+
+The axon PJRT plugin exposes no op-level trace viewer, so attribution is
+measured the direct way: each run times the REAL production kernel against
+variants with exactly one cost center stubbed out (GPS_SDR_SIM_ABLATE in
+ops/synth_pallas.py — same source, same shapes, same schedule), so the
+timing delta IS that center's share of the kernel's cycles. Variants are
+isolated in subprocesses because the kernel cache keys don't include the
+ablation env knob.
+
+Centers measured:
+  trig_gather : the per-(channel, sample) tpu.dynamic_gather of the
+                quarter-folded packed sin|cos table
+  ca_gather   : the per-(channel, sample) tpu.dynamic_gather of the
+                bit-packed C/A chip word
+  alu         : everything else per chan-sample (ramps, chip wrap,
+                nav window, sign composition, accumulate)
+  epilogue    : per-SAMPLE format packing cost, from the fmt=8/1 deltas
+                against fmt=16
+
+Cross-checked against tools/vpu_peak.py (VPU_PEAK.json): the measured
+standalone gather cost (~42 ALU-op equivalents) and delivered ALU rate
+predict each center's time; agreement means the kernel is at the
+speed-of-light of its op mix and further gains must REMOVE ops, not
+schedule them better.
+
+Usage:  python tools/profile_kernel.py [--json PROFILE_r03.json]
+        (run on the TPU; --cpu only smoke-tests the plumbing)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+VARIANTS = {
+    # name -> (GPS_SDR_SIM_ABLATE value, fmt)
+    "full": ("", 16),
+    "no_trig_gather": ("no_trig_gather", 16),
+    "no_ca_gather": ("no_ca_gather", 16),
+    "no_gathers": ("no_trig_gather,no_ca_gather", 16),
+    "full_sc08": ("", 8),
+    "full_sc01": ("", 1),
+}
+
+
+def child(ns) -> int:
+    from gps_sdr_sim_tpu.utils.compcache import enable as enable_cache
+
+    enable_cache()
+    import jax
+
+    if ns.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from gps_sdr_sim_tpu.constants import R2D
+    from gps_sdr_sim_tpu.models.scenario import ScenarioConfig, build_scenario
+    from gps_sdr_sim_tpu.ops import synth_pallas
+    from gps_sdr_sim_tpu.ops.plan import pad_epochs, plan_epochs
+    from gps_sdr_sim_tpu.ops.quantize import checksum_packed
+    from gps_sdr_sim_tpu.utils.coord import llh2xyz
+
+    B = ns.batch_epochs
+    xyz = llh2xyz(np.array([35.681298 / R2D, 139.766247 / R2D, 10.0]))
+    cfg = ScenarioConfig(nav_file=str(ROOT / "data" / "brdc3540.14n"),
+                         static_xyz=xyz, duration=0.1 * (B + 2),
+                         samp_freq=2.6e6)
+    scn = build_scenario(cfg)
+    seg = scn.segments[0]
+    n = scn.iq_buff_size
+    staged = synth_pallas.stage_epochs(
+        pad_epochs(plan_epochs(seg, 0, B, scn.delt), B))
+    n_chan = staged[2]
+
+    def one_pass():
+        t0 = time.time()
+        words = synth_pallas.synth_staged_packed(staged, n, ns.fmt)
+        s, _z = checksum_packed(words, B, n, ns.fmt)
+        _ = int(np.asarray(s))  # data-dependent sync
+        return time.time() - t0
+
+    one_pass()  # compile + warmup
+    best = min(one_pass() for _ in range(ns.passes))
+    print(json.dumps({
+        "variant": ns.child, "fmt": ns.fmt, "best_s": best,
+        "epochs": B, "samples": B * n, "n_chan": n_chan,
+        "chan_samples_per_s": B * n * n_chan / best,
+        "samples_per_s": B * n / best,
+    }))
+    return 0
+
+
+def parent(ns) -> int:
+    rows = {}
+    for name, (ablate, fmt) in VARIANTS.items():
+        env = dict(os.environ, GPS_SDR_SIM_ABLATE=ablate)
+        cmd = [sys.executable, __file__, "--child", name, "--fmt", str(fmt),
+               "--batch-epochs", str(ns.batch_epochs),
+               "--passes", str(ns.passes)]
+        if ns.cpu:
+            cmd.append("--cpu")
+        best = None
+        for rep in range(ns.repeats):
+            r = subprocess.run(cmd, env=env, cwd=ROOT, capture_output=True,
+                               text=True, timeout=1800)
+            if r.returncode != 0:
+                print(r.stderr[-2000:], file=sys.stderr)
+                return 1
+            row = json.loads(r.stdout.strip().splitlines()[-1])
+            if best is None or row["best_s"] < best["best_s"]:
+                best = row
+        rows[name] = best
+        print(json.dumps(best), file=sys.stderr)
+
+    cs = rows["full"]["samples"] * rows["full"]["n_chan"]
+    t_full = rows["full"]["best_s"]
+    t_trig = t_full - rows["no_trig_gather"]["best_s"]
+    t_ca = t_full - rows["no_ca_gather"]["best_s"]
+    t_alu = rows["no_gathers"]["best_s"]
+
+    peak = {}
+    pk = ROOT / "VPU_PEAK.json"
+    if pk.exists():
+        peak = json.loads(pk.read_text())
+    alu_rate = None
+    for c in peak.get("cases", []):
+        if c["name"] == "alu":
+            alu_rate = c["teraops"] * 1e12
+
+    def per_cs_ns(t):
+        return t / cs * 1e9
+
+    breakdown = {
+        "trig_gather_ns_per_chan_sample": round(per_cs_ns(t_trig), 4),
+        "ca_gather_ns_per_chan_sample": round(per_cs_ns(t_ca), 4),
+        "alu_ns_per_chan_sample": round(per_cs_ns(t_alu), 4),
+        "gather_share_of_kernel": round((t_trig + t_ca) / t_full, 3),
+        "gather_additivity_check": round(
+            (t_trig + t_ca) / max(t_full - t_alu, 1e-12), 3),
+    }
+    if alu_rate:
+        breakdown["alu_equiv_ops_per_chan_sample"] = round(
+            t_alu / cs * alu_rate, 1)
+        breakdown["trig_gather_equiv_alu_ops"] = round(
+            t_trig / cs * alu_rate, 1)
+        breakdown["ca_gather_equiv_alu_ops"] = round(
+            t_ca / cs * alu_rate, 1)
+
+    samples = rows["full"]["samples"]
+    epilogue = {
+        "sc08_extra_ns_per_sample": round(
+            (rows["full_sc08"]["best_s"] - t_full) / samples * 1e9, 4),
+        "sc01_extra_ns_per_sample": round(
+            (rows["full_sc01"]["best_s"] - t_full) / samples * 1e9, 4),
+    }
+
+    out = {
+        "metric": "kernel_cost_attribution",
+        "method": ("subprocess ablation of the production kernel "
+                    "(GPS_SDR_SIM_ABLATE), best-of passes x repeats on the "
+                    "time-shared device"),
+        "backend": "cpu" if ns.cpu else "default",
+        "rows": rows,
+        "breakdown": breakdown,
+        "epilogue": epilogue,
+        "vpu_peak_ref": {k: peak.get(k) for k in
+                         ("measured_vpu_peak_teraops",
+                          "gather_cost_alu_ops")} if peak else None,
+    }
+    if ns.json:
+        pathlib.Path(ns.json).write_text(json.dumps(out, indent=1))
+    print(json.dumps({k: v for k, v in out.items() if k != "rows"}))
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", default="")
+    ap.add_argument("--fmt", type=int, default=16)
+    ap.add_argument("--batch-epochs", type=int, default=400)
+    ap.add_argument("--passes", type=int, default=5)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--json", default="")
+    ns = ap.parse_args()
+    return child(ns) if ns.child else parent(ns)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
