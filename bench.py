@@ -40,16 +40,16 @@ _ROOT = pathlib.Path(__file__).parent
 _BASELINE_X = {16: 4.4, 8: 4.5, 1: 4.8}
 
 # Hand count of int32 VPU ops per (channel, sample) in the fused gather
-# kernel (ops/synth_pallas.py, uniform/epoch-aligned variant): two 2x20-bit
-# phase ramps + carries, scalar operands from SMEM, r*step slope multiplies
-# hoisted per tile (11), chip index + wrap (7), C/A word dynamic_gather
-# + bit extract (6), nav-bit window (11), table index extract (2),
-# quarter-folded packed sin/cos gather + data/quadrant sign composition
-# (16), gain mix + accumulate (4). Zero vector int32 multiplies remain
-# per chan-sample on the premultiplied path (gain folds into the gathered
-# table per tile) — int32 multiply is emulated multi-op on the VPU, so
-# the raw count understates the win of the hoist.
-_OPS_PER_CHAN_SAMPLE = 57
+# kernel (ops/synth_pallas.py, v5 uniform/premult/nav-gather variant):
+# code ramp limbs+carries (6), code-period count M via f32 (5), chip wrap
+# (3), C/A gather + bit extract (4), nav sign via the M-indexed mask
+# gather (2), carrier ramp (4), quadrant-fused table index (6), trig
+# gather + sign composition (5), mix + accumulate (9) = 44 ALU ops plus
+# 3 dynamic_gathers whose measured marginal cost is ~0 (PROFILE_r03:
+# they issue on a port the ALU chains leave idle). Zero vector int32
+# multiplies remain on the premultiplied path — int32 multiply is
+# emulated multi-op on the VPU, so the raw count understates that win.
+_OPS_PER_CHAN_SAMPLE = 44
 # Assumed VPU int32 peak per chip: 2 TensorCores x (8 x 128)-lane VPU x
 # ~1.75 GHz x 2 ALU ops/lane/cycle ~ 7.2e12 ops/s. Kept as the stated
 # assumption; the roofline denominator is the MEASURED ceiling from

@@ -82,12 +82,14 @@ def _interpret() -> bool:
 
 
 # Cost-attribution knob for tools/profile_kernel.py ONLY. A comma list of
-# {no_ca_gather, no_trig_gather} stubs that cost center out of the kernel
-# with a same-shape ALU stand-in, so timing deltas against the full kernel
-# attribute its cycles (the tpu.dynamic_gather per C/A word and per trig
-# pair are the two candidate dominators — VPU_PEAK.json measures one
-# gather at ~42 ALU-op equivalents). Ablated kernels produce WRONG
-# samples; nothing outside the profiler may set this.
+# {no_ca_gather, no_trig_gather, no_nav_gather} stubs that cost center out
+# of the kernel with a same-shape ALU stand-in, so timing deltas against
+# the full kernel attribute its cycles (standalone a tpu.dynamic_gather
+# costs ~42 ALU-op equivalents — VPU_PEAK.json — but in this kernel the
+# measured marginal cost is ~0: gathers issue on a port the ALU chains
+# leave idle, which is why v5 trades nav-window ALU for a third gather).
+# Ablated kernels produce WRONG samples; nothing outside the profiler may
+# set this.
 _ABLATE = frozenset(
     filter(None, _os.environ.get("GPS_SDR_SIM_ABLATE", "").split(",")))
 
@@ -157,7 +159,8 @@ def _row_select(scratch, g, levels: int, base_bit: int):
 
 def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                  uniform: bool = False, premult: bool = False,
-                 int_step: bool = True, fmt: int | None = None):
+                 int_step: bool = True, fmt: int | None = None,
+                 nav_gather: bool = False):
     """quantize=False emits the raw int32 accumulators (pre-(acc+64)>>7)
     so a channel-sharded caller can psum partial sums over ICI before
     quantizing — the reference sums ALL channels first (gpssim.c:2192-2259),
@@ -184,11 +187,24 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
     fmt in {16, 8, 1} (requires quantize) replaces the two int16 outputs
     with ONE int32 word stream that is bytewise the final SC16/SC08/SC01
     file format (see PACK_DIV) — the output packer of gpssim.c:2266-2288
-    fused into the epilogue, so nothing downstream re-reads the samples."""
+    fused into the epilogue, so nothing downstream re-reads the samples.
+
+    nav_gather=True (requires uniform) adds a per-(epoch, channel) input
+    of 128 nav-sign masks indexed by the in-epoch code-period count M
+    (nav_masks below): the per-sample nav window walk — mg, the
+    floor((mg+0.5)/20) bit index, the window shift (gpssim.c:2233-2241)
+    — collapses to ONE extra lane gather. The v5 trade: this kernel is
+    ALU-bound (PROFILE_r03: ablating a gather changes nothing — gathers
+    issue on an otherwise-idle port), so ~9 ALU ops for a free gather."""
     assert not (premult and not uniform), "premult requires uniform tiles"
+    assert not (nav_gather and not uniform), "nav_gather requires uniform"
     assert fmt is None or (quantize and _pack_div_ok(fmt))
 
-    def kernel(params_ref, ca_ref, tbl_ref, i_ref, q_ref=None):
+    def kernel(params_ref, ca_ref, tbl_ref, *refs):
+        if nav_gather:
+            nav_ref, *refs = refs
+        i_ref = refs[0]
+        q_ref = refs[1] if len(refs) > 1 else None
         # For fmt 8/1 the trailing ref is the row-select VMEM scratch
         # (scratch_shapes), not a second output.
         scratch = q_ref if fmt in (8, 1) else None
@@ -204,6 +220,9 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
         tbl_b = jnp.broadcast_to(tbl_ref[0:1, :], shape)
         ca_b = [jnp.broadcast_to(ca_ref[c:c + 1, :], shape)
                 for c in range(n_chan)]
+        if nav_gather:
+            nav_b = [jnp.broadcast_to(nav_ref[c:c + 1, :], shape)
+                     for c in range(n_chan)]
 
         if uniform:
             # Steps are per-epoch constants; with epoch-aligned tiles the
@@ -267,46 +286,56 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                     word = jnp.take_along_axis(ca_b[c], chip >> 5, axis=1)
                 ca_bit = (word >> (chip & 31)) & 1
 
-                mg = p(_P_M0) + M
-                bidx = jnp.floor((mg.astype(jnp.float32) + 0.5)
-                                 * _INV20).astype(jnp.int32)
-                j = bidx - p(_P_B0)
-                nav_bit = (p(_P_NAVBITS) >> j) & 1
+                if nav_gather:
+                    # v5: the nav sign for code period M comes from one
+                    # (measured-free) gather of the per-epoch mask table
+                    # instead of the 9-op window walk below.
+                    if "no_nav_gather" in _ABLATE:
+                        nav_mask = -(M & 1)  # profiler stand-in (WRONG)
+                    else:
+                        nav_mask = jnp.take_along_axis(nav_b[c], M, axis=1)
+                    # data sign: -1 iff ca_bit XOR nav bit (masks compose
+                    # by XOR; (x^m)-m negates exactly, mod 2^32 like C).
+                    dsign = (-ca_bit) ^ nav_mask
+                else:
+                    mg = p(_P_M0) + M
+                    bidx = jnp.floor((mg.astype(jnp.float32) + 0.5)
+                                     * _INV20).astype(jnp.int32)
+                    j = bidx - p(_P_B0)
+                    nav_bit = (p(_P_NAVBITS) >> j) & 1
+                    dsign = -(ca_bit ^ nav_bit)
 
                 # --- carrier-phase ramp: 2 x 20-bit limbs ---
                 # (the carrier step is < 1 cycle/sample by construction,
                 # so there is no integer-step lane)
                 w0 = p(_P_CARR_P + 0) + ws[0]
                 w1 = p(_P_CARR_P + 1) + ws[1] + (w0 >> 20)
-                # 9-bit table index = fractional bits [47, 56) = bits
-                # [11, 20) of the upper limb; & 0x1FF folds the >= 2^20
-                # carry bits away (phase mod 1).
-                i_tab = (w1 >> 11) & 0x1FF
+                # The 9-bit table index is fractional bits [47, 56) = bits
+                # [11, 20) of the upper limb (carry bits >= 20 are phase
+                # mod 1 and fold away): index = qq*128 + rr with quadrant
+                # qq = bits [18, 20), lane rr = bits [11, 18).
 
                 # --- sin/cos: one gather of the quarter-folded table ---
-                # i_tab = qq*128 + rr. For odd qq, lane 127-rr is fetched;
-                # sinT[127-rr] = cosT[rr] and cosT[127-rr] = sinT[rr], so
-                # the flip itself performs the sin<->cos swap of the
-                # odd quadrants. Quadrant signs: sin < 0 for qq in {2,3},
-                # cos < 0 for qq in {1,2}.
-                tl = i_tab & 127
-                qq = i_tab >> 7
-                tl = jnp.where((qq & 1) == 1, 127 - tl, tl)
+                # For odd qq, lane 127-rr is fetched; sinT[127-rr] =
+                # cosT[rr] and cosT[127-rr] = sinT[rr], so the flip itself
+                # performs the sin<->cos swap of the odd quadrants; for
+                # 7-bit rr the flip is rr ^ 127, and xor with the 0/-1
+                # odd-quadrant mask before masking to 7 bits fuses the
+                # select away. Quadrant signs: sin < 0 for qq in {2,3}
+                # (= qq bit 1 = w1 bit 19), cos < 0 for qq in {1,2}
+                # (= qq bit 1 XOR bit 0 = w1 bit 19 XOR bit 18) — each an
+                # arithmetic shift of a bit placed at 31, no selects.
+                qa = w1 << 12  # w1 bit 19 (qq bit 1) at bit 31
+                qb = w1 << 13  # w1 bit 18 (qq bit 0) at bit 31
+                tl = ((w1 >> 11) ^ (qb >> 31)) & 127
                 if "no_trig_gather" in _ABLATE:
                     w = tl | (tl << 16)  # profiler stand-in (WRONG samples)
                 else:
                     w = jnp.take_along_axis(
                         tbl_c if premult else tbl_b, tl, axis=1)
 
-                # The data sign (navbit*chip = -1 iff the bits differ) and
-                # the quadrant sign compose by XOR of their 0/-1 masks, and
-                # (x^m)-m negates exactly (mod 2^32, matching the C int
-                # arithmetic) — so the mix needs at most 2 multiplies
-                # (gain*sin, gain*cos), and none at all when the gain is
-                # premultiplied into the gathered table.
-                dsign = -(ca_bit ^ nav_bit)
-                ns = (-(qq >> 1)) ^ dsign
-                nc = (-(((qq + 1) >> 1) & 1)) ^ dsign
+                ns = (qa >> 31) ^ dsign
+                nc = ((qa ^ qb) >> 31) ^ dsign
                 gs = (w << 16) >> 16
                 gc = w >> 16
                 if not premult:
@@ -371,16 +400,21 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
 def _get_pallas_fn(n_chan: int, quantize: bool = True,
                    uniform: bool = False, tile_rows: int = 0,
                    premult: bool = False, int_step: bool = True,
-                   fmt: int | None = None):
+                   fmt: int | None = None, tpe: int = 0):
+    """tpe > 0 (tiles per epoch; requires uniform/epoch-aligned rows)
+    enables the v5 nav-gather kernel: run() then takes a third operand,
+    the [B*n_chan, 128] per-epoch nav mask table (nav_masks), and tile i
+    reads its epoch's [n_chan, 128] block (i // tpe)."""
     tile_rows = tile_rows or _TILE_ROWS
+    nav_gather = tpe > 0
     kernel = _make_kernel(n_chan, tile_rows, quantize, uniform, premult,
-                          int_step, fmt)
+                          int_step, fmt, nav_gather)
     out_dtype = jnp.int16 if quantize else jnp.int32
     tbl = _PACKED_Q0.reshape(1, 128)
     div = PACK_DIV[fmt] if fmt is not None else 1
 
     @jax.jit
-    def run(params, ca_words):
+    def run(params, ca_words, nav=None):
         rows = params.shape[0]
         grid = (rows // tile_rows,)
         # gather operands must span 128 lanes; word indices are < 32
@@ -398,15 +432,28 @@ def _get_pallas_fn(n_chan: int, quantize: bool = True,
             out_shape = tuple(
                 jax.ShapeDtypeStruct((out_rows, 128), out_dtype)
                 for _ in range(2))
+        in_specs = [
+            pl.BlockSpec((tile_rows, params.shape[1]),
+                         lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ca_words whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # packed trig table
+        ]
+        operands = [params, ca_in, jnp.asarray(tbl)]
+        if nav_gather:
+            # Per-epoch nav mask table: tile i belongs to epoch i // tpe.
+            # The table's per-epoch row count comes from its own shape —
+            # the wire keeps all MAX_CHAN channel columns (active
+            # compacted first), so it is >= n_chan; channel c is row c of
+            # the block either way.
+            blk = nav.shape[0] // (rows // (tile_rows * tpe))
+            in_specs.append(pl.BlockSpec(
+                (blk, 128), lambda i: (i // tpe, 0),
+                memory_space=pltpu.VMEM))
+            operands.append(nav)
         out = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((tile_rows, params.shape[1]),
-                             lambda i: (i, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # ca_words whole
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # packed trig table
-            ],
+            in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             # fmt 8/1: VMEM bounce buffer for the strided row-select.
@@ -417,7 +464,7 @@ def _get_pallas_fn(n_chan: int, quantize: bool = True,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",)),
             interpret=_interpret(),
-        )(params, ca_in, jnp.asarray(tbl))
+        )(*operands)
         if fmt is not None:
             # (rows*_SLAB/div, 128) flattens to the packed word stream in
             # sample order; reshape is layout-preserving.
@@ -529,6 +576,36 @@ def _unpack_wire(wire):
         navbits=wire[..., 10], gain=wire[..., 11])
 
 
+def nav_masks(m0, b0, navbits):
+    """[B, C] nav window fields -> [B*C, 128] per-code-period sign masks.
+
+    Lane m holds -(nav bit of code period m0+m) as a 0/-1 mask; the v5
+    kernel gathers it by the in-epoch period count M, replacing the
+    per-sample window walk (mg, floor((mg+0.5)/20), shift — the
+    gpssim.c:2233-2241 semantics, reproduced here bit-for-bit including
+    the float rounding) with one measured-free lane gather. 128 lanes
+    cover every legal geometry: an epoch is 102,300 chips (~101 periods)
+    plus at most ~15 periods of tile padding (_aligned_tile), and the
+    in-epoch M is never negative (t0 = floor(code phase) >= 0)."""
+    m = jnp.arange(128, dtype=jnp.int32)
+    mg = m0[..., None] + m
+    bidx = jnp.floor((mg.astype(jnp.float32) + 0.5)
+                     * _INV20).astype(jnp.int32)
+    # Padded rows past the epoch end may push the window index past the
+    # packed bits; they are sliced off by the caller, so clamp only to
+    # keep the shift defined (valid-region j is always in range).
+    j = jnp.clip(bidx - b0[..., None], 0, 31)
+    mask = -((navbits[..., None] >> j) & 1)
+    B, C = m0.shape
+    return mask.reshape(B * C, 128)
+
+
+def nav_table_from_wire(wire):
+    """Wire [B, C, 12] -> [B*C, 128] nav masks (see nav_masks)."""
+    u = _unpack_wire(wire)
+    return nav_masks(u["m0"], u["b0"], u["navbits"])
+
+
 def _aligned_tile(sub_blocks: int) -> tuple[int, int]:
     """Pick (tile_rows, padded sub-block count) for epoch-aligned tiles.
 
@@ -617,13 +694,14 @@ def _get_epoch_fn(n_chan: int, sub_blocks: int, n_out: int,
     tile, SBp = _aligned_tile(sub_blocks)
     pallas_fn_inner = _get_pallas_fn(n_chan, uniform=True, tile_rows=tile,
                                      premult=premult, int_step=int_step,
-                                     fmt=fmt)
+                                     fmt=fmt, tpe=SBp // tile)
     if fmt is None:
         @jax.jit
         def run_legacy(wire, ca_words):
             B = wire.shape[0]
             params, rows = _wire_to_params(wire, sub_blocks, align=True)
-            i16, q16 = pallas_fn_inner(params, ca_words)
+            i16, q16 = pallas_fn_inner(params, ca_words,
+                                       nav_table_from_wire(wire))
             iq = jnp.stack([i16.reshape(B, SBp * SUBBLOCK),
                             q16.reshape(B, SBp * SUBBLOCK)], axis=-1)
             return iq[:, :n_out]
@@ -636,7 +714,7 @@ def _get_epoch_fn(n_chan: int, sub_blocks: int, n_out: int,
     def run(wire, ca_words):
         B = wire.shape[0]
         params, rows = _wire_to_params(wire, sub_blocks, align=True)
-        words = pallas_fn_inner(params, ca_words)
+        words = pallas_fn_inner(params, ca_words, nav_table_from_wire(wire))
         return words.reshape(B, SBp * SUBBLOCK // div)
 
     return run

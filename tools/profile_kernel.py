@@ -46,7 +46,8 @@ VARIANTS = {
     "full": ("", 16),
     "no_trig_gather": ("no_trig_gather", 16),
     "no_ca_gather": ("no_ca_gather", 16),
-    "no_gathers": ("no_trig_gather,no_ca_gather", 16),
+    "no_nav_gather": ("no_nav_gather", 16),
+    "no_gathers": ("no_trig_gather,no_ca_gather,no_nav_gather", 16),
     "full_sc08": ("", 8),
     "full_sc01": ("", 1),
 }
@@ -125,6 +126,7 @@ def parent(ns) -> int:
     t_full = rows["full"]["best_s"]
     t_trig = t_full - rows["no_trig_gather"]["best_s"]
     t_ca = t_full - rows["no_ca_gather"]["best_s"]
+    t_nav = t_full - rows["no_nav_gather"]["best_s"]
     t_alu = rows["no_gathers"]["best_s"]
 
     peak = {}
@@ -142,10 +144,12 @@ def parent(ns) -> int:
     breakdown = {
         "trig_gather_ns_per_chan_sample": round(per_cs_ns(t_trig), 4),
         "ca_gather_ns_per_chan_sample": round(per_cs_ns(t_ca), 4),
+        "nav_gather_ns_per_chan_sample": round(per_cs_ns(t_nav), 4),
         "alu_ns_per_chan_sample": round(per_cs_ns(t_alu), 4),
-        "gather_share_of_kernel": round((t_trig + t_ca) / t_full, 3),
+        "gather_share_of_kernel": round(
+            (t_trig + t_ca + t_nav) / t_full, 3),
         "gather_additivity_check": round(
-            (t_trig + t_ca) / max(t_full - t_alu, 1e-12), 3),
+            (t_trig + t_ca + t_nav) / max(t_full - t_alu, 1e-12), 3),
     }
     if alu_rate:
         breakdown["alu_equiv_ops_per_chan_sample"] = round(
@@ -154,6 +158,8 @@ def parent(ns) -> int:
             t_trig / cs * alu_rate, 1)
         breakdown["ca_gather_equiv_alu_ops"] = round(
             t_ca / cs * alu_rate, 1)
+        breakdown["nav_gather_equiv_alu_ops"] = round(
+            t_nav / cs * alu_rate, 1)
 
     samples = rows["full"]["samples"]
     epilogue = {
