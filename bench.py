@@ -40,16 +40,17 @@ _ROOT = pathlib.Path(__file__).parent
 _BASELINE_X = {16: 4.4, 8: 4.5, 1: 4.8}
 
 # Hand count of int32 VPU ops per (channel, sample) in the fused gather
-# kernel (ops/synth_pallas.py, v5 uniform/premult/nav-gather variant):
-# code ramp limbs+carries (6), code-period count M via f32 (5), chip wrap
-# (3), C/A gather + bit extract (4), nav sign via the M-indexed mask
-# gather (2), carrier ramp (4), quadrant-fused table index (6), trig
-# gather + sign composition (5), mix + accumulate (9) = 44 ALU ops plus
-# 3 dynamic_gathers whose measured marginal cost is ~0 (PROFILE_r03:
-# they issue on a port the ALU chains leave idle). Zero vector int32
-# multiplies remain on the premultiplied path — int32 multiply is
-# emulated multi-op on the VPU, so the raw count understates that win.
-_OPS_PER_CHAN_SAMPLE = 44
+# kernel (ops/synth_pallas.py, uniform/premult variant, select-free trig
+# quadrants): code ramp limbs+carries (6), code-period count M via f32
+# (5), chip wrap (3), C/A gather + bit extract (4), nav window walk (11
+# — measured CHEAPER than a third gather in an interleaved A/B, see
+# _make_kernel doc), carrier ramp (4), quadrant-fused table index (6),
+# trig gather + sign composition (5), mix + accumulate (9) = 53 ALU ops
+# plus 2 dynamic_gathers (together ~7% of kernel time, PROFILE_r03
+# gathers_total_share_of_kernel). Zero vector int32 multiplies remain on
+# the premultiplied path — int32 multiply is emulated multi-op on the
+# VPU, so the raw count understates that win.
+_OPS_PER_CHAN_SAMPLE = 53
 # Assumed VPU int32 peak per chip: 2 TensorCores x (8 x 128)-lane VPU x
 # ~1.75 GHz x 2 ALU ops/lane/cycle ~ 7.2e12 ops/s. Kept as the stated
 # assumption; the roofline denominator is the MEASURED ceiling from

@@ -82,18 +82,26 @@ def _interpret() -> bool:
 
 
 # Cost-attribution knob for tools/profile_kernel.py ONLY. A comma list of
-# {no_ca_gather, no_trig_gather, no_nav_gather} stubs that cost center out
-# of the kernel with a same-shape ALU stand-in, so timing deltas against
-# the full kernel attribute its cycles (standalone a tpu.dynamic_gather
-# costs ~42 ALU-op equivalents — VPU_PEAK.json — but in this kernel the
-# measured marginal cost is ~0: gathers issue on a port the ALU chains
-# leave idle, which is why v5 trades nav-window ALU for a third gather).
+# {no_ca_gather, no_trig_gather, no_nav_walk, no_nav_gather} stubs that
+# cost center out of the kernel with a same-shape stand-in, so timing
+# deltas against the full kernel attribute its cycles (standalone a
+# tpu.dynamic_gather costs ~42 ALU-op equivalents — VPU_PEAK.json — but
+# in this kernel the two gathers' measured marginal cost is ~7% of kernel
+# time together: most of their latency hides under the ALU chains).
 # Ablated kernels produce WRONG samples; nothing outside the profiler may
 # set this.
 _ABLATE = frozenset(
     filter(None, _os.environ.get("GPS_SDR_SIM_ABLATE", "").split(",")))
 
 _INV20 = np.float32(1.0 / 20.0)
+
+
+def nav_gather_enabled() -> bool:
+    """Opt-in switch for the nav mask-table gather kernel variant.
+
+    Read dynamically (not at import) so tests can exercise both paths in
+    one process; _get_epoch_fn keys its cache on the resolved value."""
+    return _os.environ.get("GPS_SDR_SIM_NAV_GATHER", "0") == "1"
 
 # _select32/_trig_formula (shared with ops/synth_jnp.py) are not used by
 # the gather kernel, but the quarter-fold identity below is derived from
@@ -193,9 +201,12 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
     of 128 nav-sign masks indexed by the in-epoch code-period count M
     (nav_masks below): the per-sample nav window walk — mg, the
     floor((mg+0.5)/20) bit index, the window shift (gpssim.c:2233-2241)
-    — collapses to ONE extra lane gather. The v5 trade: this kernel is
-    ALU-bound (PROFILE_r03: ablating a gather changes nothing — gathers
-    issue on an otherwise-idle port), so ~9 ALU ops for a free gather."""
+    — collapses to ONE extra lane gather. MEASURED SLOWER on the target
+    chip: an interleaved same-window A/B (2026-08-19, 400-epoch batch,
+    best-of-7 x 3 reps) put the gather variant at 0.0406 s vs 0.0379 s
+    for the walk — the third dynamic_gather costs ~7% where the walk's
+    ~9 ALU ops cost ~4%. Kept behind GPS_SDR_SIM_NAV_GATHER=1 for
+    re-evaluation on other chip generations; default stays the walk."""
     assert not (premult and not uniform), "premult requires uniform tiles"
     assert not (nav_gather and not uniform), "nav_gather requires uniform"
     assert fmt is None or (quantize and _pack_div_ok(fmt))
@@ -287,9 +298,10 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                 ca_bit = (word >> (chip & 31)) & 1
 
                 if nav_gather:
-                    # v5: the nav sign for code period M comes from one
-                    # (measured-free) gather of the per-epoch mask table
-                    # instead of the 9-op window walk below.
+                    # Opt-in variant: the nav sign for code period M from
+                    # one gather of the per-epoch mask table instead of
+                    # the 9-op window walk below (measured ~3% slower
+                    # end-to-end on this chip — see _make_kernel doc).
                     if "no_nav_gather" in _ABLATE:
                         nav_mask = -(M & 1)  # profiler stand-in (WRONG)
                     else:
@@ -297,6 +309,8 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                     # data sign: -1 iff ca_bit XOR nav bit (masks compose
                     # by XOR; (x^m)-m negates exactly, mod 2^32 like C).
                     dsign = (-ca_bit) ^ nav_mask
+                elif "no_nav_walk" in _ABLATE:
+                    dsign = -ca_bit  # profiler stand-in (WRONG samples)
                 else:
                     mg = p(_P_M0) + M
                     bidx = jnp.floor((mg.astype(jnp.float32) + 0.5)
@@ -680,7 +694,7 @@ def _wire_to_params(wire, sub_blocks: int, align: bool = False):
 @lru_cache(maxsize=None)
 def _get_epoch_fn(n_chan: int, sub_blocks: int, n_out: int,
                   premult: bool = False, int_step: bool = True,
-                  fmt: int | None = 16):
+                  fmt: int | None = 16, nav_gather: bool = False):
     """Packed fast path: wire -> [B, words] int32, the final byte stream.
 
     Output words per epoch cover the tile-padded SBp * SUBBLOCK samples;
@@ -694,14 +708,18 @@ def _get_epoch_fn(n_chan: int, sub_blocks: int, n_out: int,
     tile, SBp = _aligned_tile(sub_blocks)
     pallas_fn_inner = _get_pallas_fn(n_chan, uniform=True, tile_rows=tile,
                                      premult=premult, int_step=int_step,
-                                     fmt=fmt, tpe=SBp // tile)
+                                     fmt=fmt,
+                                     tpe=SBp // tile if nav_gather else 0)
+
+    def _extra(wire):
+        return (nav_table_from_wire(wire),) if nav_gather else ()
+
     if fmt is None:
         @jax.jit
         def run_legacy(wire, ca_words):
             B = wire.shape[0]
             params, rows = _wire_to_params(wire, sub_blocks, align=True)
-            i16, q16 = pallas_fn_inner(params, ca_words,
-                                       nav_table_from_wire(wire))
+            i16, q16 = pallas_fn_inner(params, ca_words, *_extra(wire))
             iq = jnp.stack([i16.reshape(B, SBp * SUBBLOCK),
                             q16.reshape(B, SBp * SUBBLOCK)], axis=-1)
             return iq[:, :n_out]
@@ -714,7 +732,7 @@ def _get_epoch_fn(n_chan: int, sub_blocks: int, n_out: int,
     def run(wire, ca_words):
         B = wire.shape[0]
         params, rows = _wire_to_params(wire, sub_blocks, align=True)
-        words = pallas_fn_inner(params, ca_words, nav_table_from_wire(wire))
+        words = pallas_fn_inner(params, ca_words, *_extra(wire))
         return words.reshape(B, SBp * SUBBLOCK // div)
 
     return run
@@ -787,7 +805,8 @@ def synth_staged_packed(staged, n_out: int, fmt: int = 16) -> jax.Array:
     packed_bytes(n_out, fmt) bytes."""
     wire, ca_dev, n_chan, premult, int_step = staged
     sub_blocks = -(-n_out // SUBBLOCK)
-    fn = _get_epoch_fn(n_chan, sub_blocks, n_out, premult, int_step, fmt)
+    fn = _get_epoch_fn(n_chan, sub_blocks, n_out, premult, int_step, fmt,
+                       nav_gather_enabled())
     return fn(wire, ca_dev)
 
 
@@ -804,7 +823,8 @@ def synth_staged(staged, n_out: int) -> jax.Array:
             synth_staged_packed(staged, n_out, 16))[:, :n_out]
     wire, ca_dev, n_chan, premult, int_step = staged
     sub_blocks = -(-n_out // SUBBLOCK)
-    fn = _get_epoch_fn(n_chan, sub_blocks, n_out, premult, int_step, None)
+    fn = _get_epoch_fn(n_chan, sub_blocks, n_out, premult, int_step, None,
+                       nav_gather_enabled())
     return fn(wire, ca_dev)
 
 

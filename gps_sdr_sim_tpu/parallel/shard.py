@@ -154,15 +154,19 @@ def _get_wire_sharded_fn(mesh: Mesh, sub_blocks: int, n_out: int,
 
     chan_n = mesh.shape[CHAN_AXIS]
     tile, SBp = synth_pallas._aligned_tile(sub_blocks)
+    nav_gather = synth_pallas.nav_gather_enabled()
     inner = synth_pallas._get_pallas_fn(local_chan, quantize=(chan_n == 1),
                                         uniform=True, tile_rows=tile,
-                                        premult=premult, tpe=SBp // tile)
+                                        premult=premult,
+                                        tpe=SBp // tile if nav_gather else 0)
 
     def local(wire, ca):
         B = wire.shape[0]
         params, _rows = synth_pallas._wire_to_params(wire, sub_blocks,
                                                      align=True)
-        ia, qa = inner(params, ca, synth_pallas.nav_table_from_wire(wire))
+        extra = ((synth_pallas.nav_table_from_wire(wire),)
+                 if nav_gather else ())
+        ia, qa = inner(params, ca, *extra)
         if chan_n > 1:
             # Raw int32 partial accumulators cross ICI BEFORE the
             # (acc+64)>>7 quantization (reference sums all channels first,

@@ -8,13 +8,17 @@ timing delta IS that center's share of the kernel's cycles. Variants are
 isolated in subprocesses because the kernel cache keys don't include the
 ablation env knob.
 
-Centers measured:
+Centers measured (default window-walk kernel — two gathers + ALU):
   trig_gather : the per-(channel, sample) tpu.dynamic_gather of the
                 quarter-folded packed sin|cos table
   ca_gather   : the per-(channel, sample) tpu.dynamic_gather of the
                 bit-packed C/A chip word
+  nav_walk    : the ~9-op ALU nav window walk (period count, bit index,
+                window shift — the default nav-sign path; the opt-in
+                GPS_SDR_SIM_NAV_GATHER mask-table variant measured ~7%
+                slower end-to-end, see ops/synth_pallas.py::_make_kernel)
   alu         : everything else per chan-sample (ramps, chip wrap,
-                nav window, sign composition, accumulate)
+                sign composition, accumulate) = the no_gathers row
   epilogue    : per-SAMPLE format packing cost, from the fmt=8/1 deltas
                 against fmt=16
 
@@ -46,8 +50,8 @@ VARIANTS = {
     "full": ("", 16),
     "no_trig_gather": ("no_trig_gather", 16),
     "no_ca_gather": ("no_ca_gather", 16),
-    "no_nav_gather": ("no_nav_gather", 16),
-    "no_gathers": ("no_trig_gather,no_ca_gather,no_nav_gather", 16),
+    "no_nav_walk": ("no_nav_walk", 16),
+    "no_gathers": ("no_trig_gather,no_ca_gather", 16),
     "full_sc08": ("", 8),
     "full_sc01": ("", 1),
 }
@@ -102,7 +106,21 @@ def child(ns) -> int:
 
 def parent(ns) -> int:
     rows = {}
+    if ns.seed_rows:
+        # Resume support for the time-shared device: a prior partial run's
+        # stderr JSON lines (one best row per variant) seed the table and
+        # those variants are skipped. Rows remain comparable because every
+        # child reports its own best-of-passes on the same geometry.
+        for line in pathlib.Path(ns.seed_rows).read_text().splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                row = json.loads(line)
+                if row.get("variant") in VARIANTS:
+                    rows[row["variant"]] = row
     for name, (ablate, fmt) in VARIANTS.items():
+        if name in rows:
+            print(json.dumps(rows[name]), file=sys.stderr)
+            continue
         env = dict(os.environ, GPS_SDR_SIM_ABLATE=ablate)
         cmd = [sys.executable, __file__, "--child", name, "--fmt", str(fmt),
                "--batch-epochs", str(ns.batch_epochs),
@@ -126,7 +144,7 @@ def parent(ns) -> int:
     t_full = rows["full"]["best_s"]
     t_trig = t_full - rows["no_trig_gather"]["best_s"]
     t_ca = t_full - rows["no_ca_gather"]["best_s"]
-    t_nav = t_full - rows["no_nav_gather"]["best_s"]
+    t_nav = t_full - rows["no_nav_walk"]["best_s"]
     t_alu = rows["no_gathers"]["best_s"]
 
     peak = {}
@@ -144,12 +162,19 @@ def parent(ns) -> int:
     breakdown = {
         "trig_gather_ns_per_chan_sample": round(per_cs_ns(t_trig), 4),
         "ca_gather_ns_per_chan_sample": round(per_cs_ns(t_ca), 4),
-        "nav_gather_ns_per_chan_sample": round(per_cs_ns(t_nav), 4),
+        "nav_walk_ns_per_chan_sample": round(per_cs_ns(t_nav), 4),
         "alu_ns_per_chan_sample": round(per_cs_ns(t_alu), 4),
-        "gather_share_of_kernel": round(
-            (t_trig + t_ca + t_nav) / t_full, 3),
+        "gather_share_of_kernel": round((t_trig + t_ca) / t_full, 3),
         "gather_additivity_check": round(
-            (t_trig + t_ca + t_nav) / max(t_full - t_alu, 1e-12), 3),
+            (t_trig + t_ca) / max(t_full - t_alu, 1e-12), 3),
+        # The one delta NOT confounded by cross-subprocess device-window
+        # drift is full - no_gathers (both gathers at once): use it as the
+        # trustworthy total; when the additivity check is >> 1 the
+        # per-gather rows above overstate by window noise.
+        "gathers_total_ns_per_chan_sample": round(
+            per_cs_ns(t_full - t_alu), 4),
+        "gathers_total_share_of_kernel": round(
+            (t_full - t_alu) / t_full, 3),
     }
     if alu_rate:
         breakdown["alu_equiv_ops_per_chan_sample"] = round(
@@ -158,7 +183,7 @@ def parent(ns) -> int:
             t_trig / cs * alu_rate, 1)
         breakdown["ca_gather_equiv_alu_ops"] = round(
             t_ca / cs * alu_rate, 1)
-        breakdown["nav_gather_equiv_alu_ops"] = round(
+        breakdown["nav_walk_equiv_alu_ops"] = round(
             t_nav / cs * alu_rate, 1)
 
     samples = rows["full"]["samples"]
@@ -197,6 +222,8 @@ def main() -> int:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--json", default="")
+    ap.add_argument("--seed-rows", default="",
+                    help="file of prior per-variant JSON rows to reuse")
     ns = ap.parse_args()
     return child(ns) if ns.child else parent(ns)
 
