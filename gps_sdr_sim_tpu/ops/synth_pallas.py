@@ -168,7 +168,7 @@ def _row_select(scratch, g, levels: int, base_bit: int):
 def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                  uniform: bool = False, premult: bool = False,
                  int_step: bool = True, fmt: int | None = None,
-                 nav_gather: bool = False):
+                 nav_gather: bool = False, int_m: bool = False):
     """quantize=False emits the raw int32 accumulators (pre-(acc+64)>>7)
     so a channel-sharded caller can psum partial sums over ICI before
     quantizing — the reference sums ALL channels first (gpssim.c:2192-2259),
@@ -206,7 +206,16 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
     best-of-7 x 3 reps) put the gather variant at 0.0406 s vs 0.0379 s
     for the walk — the third dynamic_gather costs ~7% where the walk's
     ~9 ALU ops cost ~4%. Kept behind GPS_SDR_SIM_NAV_GATHER=1 for
-    re-evaluation on other chip generations; default stays the walk."""
+    re-evaluation on other chip generations; default stays the walk.
+
+    int_m=True computes the code-period count M and the chip wrap by the
+    exact integer identity T = 1023*(T>>10) + (T&1023) + (T>>10): with
+    q0 = T>>10 and r0 = (T&1023) + q0 < 2046 (one conditional fold),
+    M = q0 + (r0 >= 1023) and chip = r0 - 1023*(r0 >= 1023) — no
+    int<->float converts and no multiply-by-1023, exact for
+    -1 <= T < 1023*1024 (epoch-rebased T is < ~110k chips; goldens and
+    the A/B equality check enforce parity). A/B-able variant
+    (tools/ab_kernel.py); see the M computation below for the default."""
     assert not (premult and not uniform), "premult requires uniform tiles"
     assert not (nav_gather and not uniform), "nav_gather requires uniform"
     assert fmt is None or (quantize and _pack_div_ok(fmt))
@@ -286,9 +295,19 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                 if int_step:
                     T = T + rs[2]
 
-                M = jnp.floor((T.astype(jnp.float32) + 0.5)
-                              * _INV1023).astype(jnp.int32)
-                chip = T - CA_SEQ_LEN * M
+                if int_m:
+                    # Exact integer M + chip (see docstring): one shift
+                    # fold of 2^10 = 1023 + 1, then a single >= 1023
+                    # correction via an arithmetic-shift mask.
+                    q0 = T >> 10
+                    r0 = (T & 1023) + q0
+                    wrap = (1022 - r0) >> 31  # -1 iff r0 >= 1023
+                    M = q0 - wrap
+                    chip = r0 + (wrap & -CA_SEQ_LEN)
+                else:
+                    M = jnp.floor((T.astype(jnp.float32) + 0.5)
+                                  * _INV1023).astype(jnp.int32)
+                    chip = T - CA_SEQ_LEN * M
 
                 # C/A chip: one lane-gather of the bit-packed word
                 if "no_ca_gather" in _ABLATE:
@@ -414,7 +433,8 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
 def _get_pallas_fn(n_chan: int, quantize: bool = True,
                    uniform: bool = False, tile_rows: int = 0,
                    premult: bool = False, int_step: bool = True,
-                   fmt: int | None = None, tpe: int = 0):
+                   fmt: int | None = None, tpe: int = 0,
+                   int_m: bool = False):
     """tpe > 0 (tiles per epoch; requires uniform/epoch-aligned rows)
     enables the v5 nav-gather kernel: run() then takes a third operand,
     the [B*n_chan, 128] per-epoch nav mask table (nav_masks), and tile i
@@ -422,7 +442,7 @@ def _get_pallas_fn(n_chan: int, quantize: bool = True,
     tile_rows = tile_rows or _TILE_ROWS
     nav_gather = tpe > 0
     kernel = _make_kernel(n_chan, tile_rows, quantize, uniform, premult,
-                          int_step, fmt, nav_gather)
+                          int_step, fmt, nav_gather, int_m)
     out_dtype = jnp.int16 if quantize else jnp.int32
     tbl = _PACKED_Q0.reshape(1, 128)
     div = PACK_DIV[fmt] if fmt is not None else 1
