@@ -29,6 +29,8 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import datetime
+import hashlib
 import json
 import pathlib
 import resource
@@ -86,7 +88,9 @@ def phase_synth(ns) -> int:
     sums = []
     nz_min = 1 << 62
     batches = 0
+    timeline = []  # one row per checksum drain: interval throughput
     t_run = time.time()
+    t_last, e_last = t_run, 0
 
     def _stage(item):
         nonlocal plan_s
@@ -143,7 +147,20 @@ def phase_synth(ns) -> int:
             nz_min = min(nz_min, int(drained[:, 1].min()))
             pending_sums.clear()
             done = out_hi / total
-            rate = out_hi * n / (time.time() - t_run)
+            now = time.time()
+            # Per-interval throughput row (epochs + wall + plan time since
+            # the previous drain) — attributes sustained-vs-headline gaps
+            # to device weather (slow intervals) vs pipeline structure
+            # (uniformly low rate).
+            timeline.append({
+                "t_s": round(now - t_run, 1),
+                "epochs_done": out_hi,
+                "interval_gsps": round(
+                    (out_hi - e_last) * n / max(now - t_last, 1e-9) / 1e9,
+                    3),
+            })
+            t_last, e_last = now, out_hi
+            rate = out_hi * n / (now - t_run)
             print(f"\r{done * 100:5.1f}%  {rate / 1e9:.2f} Gsamples/s  "
                   f"plan {plan_s:.0f} s", end="", file=sys.stderr)
     if pending_sums:
@@ -155,8 +172,17 @@ def phase_synth(ns) -> int:
 
     rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     csum = int(np.asarray(jnp.sum(jnp.asarray(sums, dtype=jnp.int32))))
+    # Durable record of the sampled blocks: the npz files are too large to
+    # commit (~0.5 GB), so the committed artifact carries a sha256 per
+    # block — the on-disk file is verifiable against the artifact.
+    block_sha = {
+        str(lo): hashlib.sha256(b"".join(parts)).hexdigest()
+        for lo, parts in sampled.items()}
+    rates = sorted(r["interval_gsps"] for r in timeline) or [0.0]
     stats = {
         "metric": "day_run_86400s",
+        "started_utc": datetime.datetime.now(
+            datetime.timezone.utc).isoformat(timespec="seconds"),
         "duration_s": ns.duration, "samp_freq": ns.samp_freq,
         "fmt": ns.fmt, "epochs": total,
         "total_samples": scn.total_samples,
@@ -171,6 +197,12 @@ def phase_synth(ns) -> int:
         "min_batch_nonzero": nz_min,
         "all_batches_nonzero": nz_min > 0,
         "sampled_blocks": [[lo, hi] for lo, hi in blocks],
+        "blocks_file": str(ns.blocks_file),
+        "block_sha256": block_sha,
+        "interval_gsps_min": rates[0],
+        "interval_gsps_median": rates[len(rates) // 2],
+        "interval_gsps_max": rates[-1],
+        "throughput_timeline": timeline,
         "oracle": "pending (run --phase oracle)",
     }
     np.savez_compressed(
@@ -282,6 +314,10 @@ def phase_diff(ns) -> int:
           and worst["straddles"] <= max(2, int(worst["vals"] / 2e6)))
     stats["oracle"] = {
         "oracle_wall_s": round(oracle_s, 1),
+        "oracle_blocks_file": str(ns.oracle_blocks_file),
+        "oracle_block_sha256": {
+            str(lo): hashlib.sha256(ref[f"b{lo}"].tobytes()).hexdigest()
+            for lo, _hi in blocks},
         "worst_mismatch_fraction": worst["frac"],
         "worst_max_delta": worst["max"],
         "chip_straddles": worst["straddles"],
