@@ -84,7 +84,7 @@ def _multihost_sweep(proc_counts, ns) -> int:
     n_samples = 79 * 100000  # 8 s @ 1 Msps: (numd-1) epochs x iq_buff
 
     rows = _load_rows(ns)
-    base = None
+    base = base_steady = None
     for n in proc_counts:
         with tempfile.TemporaryDirectory() as td:
             out = pathlib.Path(td) / "out.bin"
@@ -92,7 +92,8 @@ def _multihost_sweep(proc_counts, ns) -> int:
             if n == 1:
                 subprocess.run(
                     [sys.executable, "-m", "gps_sdr_sim_tpu.cli", *args,
-                     "-o", str(out)],
+                     "-o", str(out),
+                     "--json-summary", str(td + "/sum0.json")],
                     cwd=root, env=env, check=True, capture_output=True,
                     timeout=1200)
             else:
@@ -104,6 +105,7 @@ def _multihost_sweep(proc_counts, ns) -> int:
                         [sys.executable, "-m", "gps_sdr_sim_tpu.cli", *args,
                          "-o", str(out), "--shard-dir", str(td + "/sh"),
                          "--shards", str(2 * n), "--concat",
+                         "--json-summary", str(td + f"/sum{pid}.json"),
                          "--multihost", f"127.0.0.1:{port},{pid},{n}"],
                         cwd=root, env=env, stdout=subprocess.DEVNULL,
                         stderr=subprocess.PIPE)
@@ -116,16 +118,33 @@ def _multihost_sweep(proc_counts, ns) -> int:
                         return 1
             wall = time.time() - t0
             assert out.stat().st_size == n_samples * 4, out.stat().st_size
+            # Steady state vs startup (round-3 verdict: 1->2 process
+            # "efficiency" buried jax.distributed init + per-process
+            # compile + concat inside the number). Every process wrote a
+            # RunStats summary whose wall_seconds covers ONLY its
+            # synthesis loop; the concurrent-region time is the max over
+            # processes, everything else is startup/teardown machinery.
+            synth_wall = max(
+                json.loads((pathlib.Path(td) / f"sum{pid}.json")
+                           .read_text())["wall_seconds"]
+                for pid in range(n))
         rate = n_samples / wall
+        steady = n_samples / synth_wall
         if base is None:
-            base = rate
+            base, base_steady = rate, steady
         _emit(rows, ns, {
             "metric": "multihost_scaling_samples_per_sec",
             "processes": n, "wall_s": round(wall, 2),
+            "synth_wall_s": round(synth_wall, 2),
+            "startup_teardown_s": round(wall - synth_wall, 2),
             "value": round(rate / 1e6, 2), "unit": "Msamples_per_sec",
+            "steady_msamples_per_sec": round(steady / 1e6, 2),
             "efficiency_vs_1proc": round(rate / (base * n), 3),
+            "steady_efficiency_vs_1proc": round(
+                steady / (base_steady * n), 3),
             "note": "real jax.distributed processes over localhost DCN, "
-                    "CPU backend, incl. startup + shard concat",
+                    "CPU backend; wall_s includes startup + shard concat, "
+                    "synth_wall_s is the synthesis loop only",
         })
     return 0
 
