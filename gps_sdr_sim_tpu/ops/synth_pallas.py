@@ -89,7 +89,10 @@ def _interpret() -> bool:
 # in this kernel the two gathers' measured marginal cost is ~7% of kernel
 # time together: most of their latency hides under the ALU chains).
 # Ablated kernels produce WRONG samples; nothing outside the profiler may
-# set this.
+# set this. The profiler passes explicit `ablate` sets to _get_pallas_fn
+# (cache-keyed) so all variants can be timed INTERLEAVED in one process /
+# one device-weather window; the env knob remains as the default for
+# whole-subprocess ablation.
 _ABLATE = frozenset(
     filter(None, _os.environ.get("GPS_SDR_SIM_ABLATE", "").split(",")))
 
@@ -168,7 +171,8 @@ def _row_select(scratch, g, levels: int, base_bit: int):
 def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                  uniform: bool = False, premult: bool = False,
                  int_step: bool = True, fmt: int | None = None,
-                 nav_gather: bool = False, int_m: bool = False):
+                 nav_gather: bool = False, int_m: bool = False,
+                 ablate: frozenset = frozenset()):
     """quantize=False emits the raw int32 accumulators (pre-(acc+64)>>7)
     so a channel-sharded caller can psum partial sums over ICI before
     quantizing — the reference sums ALL channels first (gpssim.c:2192-2259),
@@ -310,7 +314,7 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                     chip = T - CA_SEQ_LEN * M
 
                 # C/A chip: one lane-gather of the bit-packed word
-                if "no_ca_gather" in _ABLATE:
+                if "no_ca_gather" in ablate:
                     word = chip + lane  # profiler stand-in (WRONG samples)
                 else:
                     word = jnp.take_along_axis(ca_b[c], chip >> 5, axis=1)
@@ -321,14 +325,14 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                     # one gather of the per-epoch mask table instead of
                     # the 9-op window walk below (measured ~3% slower
                     # end-to-end on this chip — see _make_kernel doc).
-                    if "no_nav_gather" in _ABLATE:
+                    if "no_nav_gather" in ablate:
                         nav_mask = -(M & 1)  # profiler stand-in (WRONG)
                     else:
                         nav_mask = jnp.take_along_axis(nav_b[c], M, axis=1)
                     # data sign: -1 iff ca_bit XOR nav bit (masks compose
                     # by XOR; (x^m)-m negates exactly, mod 2^32 like C).
                     dsign = (-ca_bit) ^ nav_mask
-                elif "no_nav_walk" in _ABLATE:
+                elif "no_nav_walk" in ablate:
                     dsign = -ca_bit  # profiler stand-in (WRONG samples)
                 else:
                     mg = p(_P_M0) + M
@@ -361,7 +365,7 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                 qa = w1 << 12  # w1 bit 19 (qq bit 1) at bit 31
                 qb = w1 << 13  # w1 bit 18 (qq bit 0) at bit 31
                 tl = ((w1 >> 11) ^ (qb >> 31)) & 127
-                if "no_trig_gather" in _ABLATE:
+                if "no_trig_gather" in ablate:
                     w = tl | (tl << 16)  # profiler stand-in (WRONG samples)
                 else:
                     w = jnp.take_along_axis(
@@ -434,15 +438,27 @@ def _get_pallas_fn(n_chan: int, quantize: bool = True,
                    uniform: bool = False, tile_rows: int = 0,
                    premult: bool = False, int_step: bool = True,
                    fmt: int | None = None, tpe: int = 0,
-                   int_m: bool = False):
+                   int_m: bool = False,
+                   ablate: frozenset | None = None,
+                   debug: bool = False):
     """tpe > 0 (tiles per epoch; requires uniform/epoch-aligned rows)
     enables the v5 nav-gather kernel: run() then takes a third operand,
     the [B*n_chan, 128] per-epoch nav mask table (nav_masks), and tile i
-    reads its epoch's [n_chan, 128] block (i // tpe)."""
+    reads its epoch's [n_chan, 128] block (i // tpe).
+
+    ablate=None resolves to the GPS_SDR_SIM_ABLATE env set (_ABLATE);
+    passing an explicit frozenset keys a distinct cache entry so the
+    profiler can time ablation variants interleaved in one process.
+
+    debug=True passes through to pl.pallas_call: Mosaic prints the
+    kernel's vector-dialect MLIR at lowering time (tools/op_budget.py
+    captures and statically counts it)."""
     tile_rows = tile_rows or _TILE_ROWS
     nav_gather = tpe > 0
+    if ablate is None:
+        ablate = _ABLATE
     kernel = _make_kernel(n_chan, tile_rows, quantize, uniform, premult,
-                          int_step, fmt, nav_gather, int_m)
+                          int_step, fmt, nav_gather, int_m, ablate)
     out_dtype = jnp.int16 if quantize else jnp.int32
     tbl = _PACKED_Q0.reshape(1, 128)
     div = PACK_DIV[fmt] if fmt is not None else 1
@@ -498,6 +514,7 @@ def _get_pallas_fn(n_chan: int, quantize: bool = True,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",)),
             interpret=_interpret(),
+            debug=debug,
         )(*operands)
         if fmt is not None:
             # (rows*_SLAB/div, 128) flattens to the packed word stream in

@@ -1,19 +1,29 @@
 """Cost attribution for the fused synthesis kernel (ops/synth_pallas.py).
 
 The axon PJRT plugin exposes no op-level trace viewer, so attribution is
-measured the direct way: each run times the REAL production kernel against
-variants with exactly one cost center stubbed out (GPS_SDR_SIM_ABLATE in
-ops/synth_pallas.py — same source, same shapes, same schedule), so the
-timing delta IS that center's share of the kernel's cycles. Variants are
-isolated in subprocesses because the kernel cache keys don't include the
-ablation env knob.
+measured the direct way: the REAL production kernel is timed against
+variants with exactly one cost center stubbed out (the `ablate` parameter
+of ops/synth_pallas._get_pallas_fn — same source, same shapes, same
+schedule), so the timing delta IS that center's share of the kernel's
+cycles.
+
+Method (round 4): all variants are compiled in ONE process and timed
+INTERLEAVED — rep r times every variant back-to-back before rep r+1 —
+so every delta is a same-device-window comparison. The earlier subprocess
+ablation (one process per variant, GPS_SDR_SIM_ABLATE env) measured each
+variant in a different minutes-apart window of this time-shared device;
+its per-gather deltas carried window noise larger than the effects
+(PROFILE_r03 gather_additivity_check = 2.24). The interleaved design is
+the same harness that adjudicated the v5 nav-gather variant
+(tools/ab_kernel.py); the additivity check below is the self-test that
+the noise is gone.
 
 Centers measured (default window-walk kernel — two gathers + ALU):
   trig_gather : the per-(channel, sample) tpu.dynamic_gather of the
                 quarter-folded packed sin|cos table
   ca_gather   : the per-(channel, sample) tpu.dynamic_gather of the
                 bit-packed C/A chip word
-  nav_walk    : the ~9-op ALU nav window walk (period count, bit index,
+  nav_walk    : the ~11-op ALU nav window walk (period count, bit index,
                 window shift — the default nav-sign path; the opt-in
                 GPS_SDR_SIM_NAV_GATHER mask-table variant measured ~7%
                 slower end-to-end, see ops/synth_pallas.py::_make_kernel)
@@ -23,12 +33,12 @@ Centers measured (default window-walk kernel — two gathers + ALU):
                 against fmt=16
 
 Cross-checked against tools/vpu_peak.py (VPU_PEAK.json): the measured
-standalone gather cost (~42 ALU-op equivalents) and delivered ALU rate
-predict each center's time; agreement means the kernel is at the
-speed-of-light of its op mix and further gains must REMOVE ops, not
-schedule them better.
+standalone gather cost and delivered ALU rate convert each center's time
+into ALU-op equivalents; tools/op_budget.py reconciles those against a
+static op count of the compiled kernel. Workload contract:
+/root/reference/gpssim.c:2190-2264.
 
-Usage:  python tools/profile_kernel.py [--json PROFILE_r03.json]
+Usage:  python tools/profile_kernel.py [--json PROFILE_r04.json]
         (run on the TPU; --cpu only smoke-tests the plumbing)
 """
 
@@ -36,9 +46,7 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import pathlib
-import subprocess
 import sys
 import time
 
@@ -46,18 +54,26 @@ ROOT = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
 VARIANTS = {
-    # name -> (GPS_SDR_SIM_ABLATE value, fmt)
-    "full": ("", 16),
-    "no_trig_gather": ("no_trig_gather", 16),
-    "no_ca_gather": ("no_ca_gather", 16),
-    "no_nav_walk": ("no_nav_walk", 16),
-    "no_gathers": ("no_trig_gather,no_ca_gather", 16),
-    "full_sc08": ("", 8),
-    "full_sc01": ("", 1),
+    # name -> (ablate set, fmt)
+    "full": ((), 16),
+    "no_trig_gather": (("no_trig_gather",), 16),
+    "no_ca_gather": (("no_ca_gather",), 16),
+    "no_nav_walk": (("no_nav_walk",), 16),
+    "no_gathers": (("no_trig_gather", "no_ca_gather"), 16),
+    "full_sc08": ((), 8),
+    "full_sc01": ((), 1),
 }
 
 
-def child(ns) -> int:
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-epochs", type=int, default=400)
+    ap.add_argument("--passes", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--json", default="")
+    ns = ap.parse_args()
+
     from gps_sdr_sim_tpu.utils.compcache import enable as enable_cache
 
     enable_cache()
@@ -67,7 +83,7 @@ def child(ns) -> int:
         jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
-    from gps_sdr_sim_tpu.constants import R2D
+    from gps_sdr_sim_tpu.constants import R2D, SUBBLOCK
     from gps_sdr_sim_tpu.models.scenario import ScenarioConfig, build_scenario
     from gps_sdr_sim_tpu.ops import synth_pallas
     from gps_sdr_sim_tpu.ops.plan import pad_epochs, plan_epochs
@@ -82,65 +98,55 @@ def child(ns) -> int:
     scn = build_scenario(cfg)
     seg = scn.segments[0]
     n = scn.iq_buff_size
-    staged = synth_pallas.stage_epochs(
+    wire, ca, n_chan, premult, int_step = synth_pallas.stage_epochs(
         pad_epochs(plan_epochs(seg, 0, B, scn.delt), B))
-    n_chan = staged[2]
+    sub_blocks = -(-n // SUBBLOCK)
+    tile, SBp = synth_pallas._aligned_tile(sub_blocks)
 
-    def one_pass():
-        t0 = time.time()
-        words = synth_pallas.synth_staged_packed(staged, n, ns.fmt)
-        s, _z = checksum_packed(words, B, n, ns.fmt)
-        _ = int(np.asarray(s))  # data-dependent sync
-        return time.time() - t0
+    def build(ablate, fmt):
+        inner = synth_pallas._get_pallas_fn(
+            n_chan, uniform=True, tile_rows=tile, premult=premult,
+            int_step=int_step, fmt=fmt, ablate=frozenset(ablate))
+        div = synth_pallas.PACK_DIV[fmt]
 
-    one_pass()  # compile + warmup
-    best = min(one_pass() for _ in range(ns.passes))
-    print(json.dumps({
-        "variant": ns.child, "fmt": ns.fmt, "best_s": best,
-        "epochs": B, "samples": B * n, "n_chan": n_chan,
-        "chan_samples_per_s": B * n * n_chan / best,
-        "samples_per_s": B * n / best,
-    }))
-    return 0
+        @jax.jit
+        def run(wire, ca):
+            params, _rows = synth_pallas._wire_to_params(
+                wire, sub_blocks, align=True)
+            return inner(params, ca).reshape(
+                wire.shape[0], SBp * SUBBLOCK // div)
 
+        def one_pass():
+            t0 = time.time()
+            w = run(wire, ca)
+            s, _z = checksum_packed(w, B, n, fmt)
+            _ = int(np.asarray(s))  # data-dependent sync
+            return time.time() - t0
 
-def parent(ns) -> int:
-    rows = {}
-    if ns.seed_rows:
-        # Resume support for the time-shared device: a prior partial run's
-        # stderr JSON lines (one best row per variant) seed the table and
-        # those variants are skipped. Rows remain comparable because every
-        # child reports its own best-of-passes on the same geometry.
-        for line in pathlib.Path(ns.seed_rows).read_text().splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                row = json.loads(line)
-                if row.get("variant") in VARIANTS:
-                    rows[row["variant"]] = row
-    for name, (ablate, fmt) in VARIANTS.items():
-        if name in rows:
-            print(json.dumps(rows[name]), file=sys.stderr)
-            continue
-        env = dict(os.environ, GPS_SDR_SIM_ABLATE=ablate)
-        cmd = [sys.executable, __file__, "--child", name, "--fmt", str(fmt),
-               "--batch-epochs", str(ns.batch_epochs),
-               "--passes", str(ns.passes)]
-        if ns.cpu:
-            cmd.append("--cpu")
-        best = None
-        for rep in range(ns.repeats):
-            r = subprocess.run(cmd, env=env, cwd=ROOT, capture_output=True,
-                               text=True, timeout=1800)
-            if r.returncode != 0:
-                print(r.stderr[-2000:], file=sys.stderr)
-                return 1
-            row = json.loads(r.stdout.strip().splitlines()[-1])
-            if best is None or row["best_s"] < best["best_s"]:
-                best = row
-        rows[name] = best
-        print(json.dumps(best), file=sys.stderr)
+        return one_pass
 
-    cs = rows["full"]["samples"] * rows["full"]["n_chan"]
+    fns = {name: build(*spec) for name, spec in VARIANTS.items()}
+    for name, fn in fns.items():  # compile + warm every variant first
+        t = fn()
+        print(f"warmup {name}: {t:.3f} s", file=sys.stderr)
+
+    reps: dict = {name: [] for name in fns}
+    for rep in range(ns.reps):
+        for name, fn in fns.items():  # interleaved: same device window
+            best = min(fn() for _ in range(ns.passes))
+            reps[name].append(round(best, 5))
+            print(f"rep{rep} {name}: {best:.4f} s", file=sys.stderr)
+
+    samples = B * n
+    cs = samples * n_chan
+    rows = {name: {
+        "variant": name, "fmt": VARIANTS[name][1],
+        "best_s": min(t), "reps_s": t,
+        "epochs": B, "samples": samples, "n_chan": n_chan,
+        "chan_samples_per_s": cs / min(t),
+        "samples_per_s": samples / min(t),
+    } for name, t in reps.items()}
+
     t_full = rows["full"]["best_s"]
     t_trig = t_full - rows["no_trig_gather"]["best_s"]
     t_ca = t_full - rows["no_ca_gather"]["best_s"]
@@ -164,13 +170,13 @@ def parent(ns) -> int:
         "ca_gather_ns_per_chan_sample": round(per_cs_ns(t_ca), 4),
         "nav_walk_ns_per_chan_sample": round(per_cs_ns(t_nav), 4),
         "alu_ns_per_chan_sample": round(per_cs_ns(t_alu), 4),
+        "full_ns_per_chan_sample": round(per_cs_ns(t_full), 4),
         "gather_share_of_kernel": round((t_trig + t_ca) / t_full, 3),
+        # Self-test: the two single-gather deltas must sum to the joint
+        # all-gathers delta. Near 1.0 = the interleaving removed the
+        # window noise; PROFILE_r03's subprocess method scored 2.24 here.
         "gather_additivity_check": round(
             (t_trig + t_ca) / max(t_full - t_alu, 1e-12), 3),
-        # The one delta NOT confounded by cross-subprocess device-window
-        # drift is full - no_gathers (both gathers at once): use it as the
-        # trustworthy total; when the additivity check is >> 1 the
-        # per-gather rows above overstate by window noise.
         "gathers_total_ns_per_chan_sample": round(
             per_cs_ns(t_full - t_alu), 4),
         "gathers_total_share_of_kernel": round(
@@ -179,6 +185,8 @@ def parent(ns) -> int:
     if alu_rate:
         breakdown["alu_equiv_ops_per_chan_sample"] = round(
             t_alu / cs * alu_rate, 1)
+        breakdown["full_equiv_ops_per_chan_sample"] = round(
+            t_full / cs * alu_rate, 1)
         breakdown["trig_gather_equiv_alu_ops"] = round(
             t_trig / cs * alu_rate, 1)
         breakdown["ca_gather_equiv_alu_ops"] = round(
@@ -186,7 +194,6 @@ def parent(ns) -> int:
         breakdown["nav_walk_equiv_alu_ops"] = round(
             t_nav / cs * alu_rate, 1)
 
-    samples = rows["full"]["samples"]
     epilogue = {
         "sc08_extra_ns_per_sample": round(
             (rows["full_sc08"]["best_s"] - t_full) / samples * 1e9, 4),
@@ -196,9 +203,9 @@ def parent(ns) -> int:
 
     out = {
         "metric": "kernel_cost_attribution",
-        "method": ("subprocess ablation of the production kernel "
-                    "(GPS_SDR_SIM_ABLATE), best-of passes x repeats on the "
-                    "time-shared device"),
+        "method": ("interleaved same-window ablation: all variants "
+                   "compiled in one process (explicit ablate= cache keys) "
+                   "and timed alternately, best of passes x reps"),
         "backend": "cpu" if ns.cpu else "default",
         "rows": rows,
         "breakdown": breakdown,
@@ -211,21 +218,6 @@ def parent(ns) -> int:
         pathlib.Path(ns.json).write_text(json.dumps(out, indent=1))
     print(json.dumps({k: v for k, v in out.items() if k != "rows"}))
     return 0
-
-
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--child", default="")
-    ap.add_argument("--fmt", type=int, default=16)
-    ap.add_argument("--batch-epochs", type=int, default=400)
-    ap.add_argument("--passes", type=int, default=5)
-    ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--json", default="")
-    ap.add_argument("--seed-rows", default="",
-                    help="file of prior per-variant JSON rows to reuse")
-    ns = ap.parse_args()
-    return child(ns) if ns.child else parent(ns)
 
 
 if __name__ == "__main__":

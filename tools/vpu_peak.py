@@ -15,6 +15,14 @@ ops/s:
               sustain. The gap between the two is the gather cost.
   mix       : a 2:1 alu:gather blend approximating the synthesis kernel's
               measured op mix (~57 ops/chan-sample, 3 gathers).
+  imul      : the chains with int32 vector MULTIPLIES folded in — int32
+              multiply has no single-op VPU lowering (Mosaic emulates it
+              multi-op); the marginal cost prices the kernel's 1023*M
+              chip-wrap multiply and the hoisted r*step ramps.
+  f32rt     : the chains with the kernel's M/nav-walk pattern folded in:
+              i32->f32 convert, +0.5, *const, floor, f32->i32 convert.
+              Nominally 5 ops; the marginal cost is what it really costs,
+              pricing the int_m kernel variant (ops/synth_pallas.py).
 
 Usage: python tools/vpu_peak.py [--json FILE] [--iters N]
 Writes a JSON summary (default VPU_PEAK.json at the repo root) that
@@ -47,7 +55,8 @@ LANES = 128
 N_ACC = 8  # independent chains per round: enough ILP to fill the pipeline
 
 
-def _make_kernel(rounds: int, gathers_per_round: int, alu_per_round: int):
+def _make_kernel(rounds: int, gathers_per_round: int, alu_per_round: int,
+                 extra: str = "", extra_per_round: int = 0):
     """rounds x (N_ACC chains x [alu ops + gathers]) on a (SLAB,128) slab.
 
     Every chain starts from RUNTIME data (the seed input) and every op
@@ -56,7 +65,9 @@ def _make_kernel(rounds: int, gathers_per_round: int, alu_per_round: int):
     folded the whole loop to one op per chain and reported 100x over any
     plausible peak). Chains are mutually independent within a round (ILP);
     op counts per element per round: alu_per_round alu ops +
-    gathers_per_round gathers.
+    gathers_per_round gathers + extra_per_round `extra` patterns
+    ("imul" = one int32 vector multiply; "f32rt" = the synthesis kernel's
+    convert/+0.5/*const/floor/convert period-count pattern).
     """
 
     def kernel(seed_ref, tbl_ref, o_ref):
@@ -80,6 +91,20 @@ def _make_kernel(rounds: int, gathers_per_round: int, alu_per_round: int):
                 c = (j + 1) % N_ACC
                 g = jnp.take_along_axis(tbl, acc[c] & 127, axis=1)
                 acc[c] = acc[c] + g
+            for j in range(extra_per_round):
+                c = (j + 5) % N_ACC
+                if extra == "imul":
+                    acc[c] = acc[c] * acc[(c + 3) % N_ACC]
+                elif extra == "f32rt":
+                    # The kernel's code-period-count pattern
+                    # (ops/synth_pallas.py M computation / nav walk):
+                    # masked to keep the f32 value exactly representable.
+                    t = (acc[(c + 3) % N_ACC] & 0xFFFFF).astype(jnp.float32)
+                    m = jnp.floor((t + 0.5) * np.float32(1.0 / 1023.0)
+                                  ).astype(jnp.int32)
+                    acc[c] = acc[c] + m
+                else:
+                    raise ValueError(extra)
             return tuple(acc)
 
         acc = jax.lax.fori_loop(0, rounds, body, tuple(acc))
@@ -92,8 +117,9 @@ def _make_kernel(rounds: int, gathers_per_round: int, alu_per_round: int):
 
 
 def _run_case(name: str, tiles: int, rounds: int, gathers: int, alu: int,
-              reps: int = 5, interpret: bool = False) -> dict:
-    kernel = _make_kernel(rounds, gathers, alu)
+              reps: int = 5, interpret: bool = False, extra: str = "",
+              extra_per_round: int = 0) -> dict:
+    kernel = _make_kernel(rounds, gathers, alu, extra, extra_per_round)
     tbl = np.arange(LANES, dtype=np.int32).reshape(1, LANES)
     rng = np.random.default_rng(7)
     seed = rng.integers(0, 1 << 20, size=(SLAB, LANES), dtype=np.int32)
@@ -130,10 +156,11 @@ def _run_case(name: str, tiles: int, rounds: int, gathers: int, alu: int,
     total_ops = elems * rounds * (alu + gathers)
     ops_s = total_ops / best
     print(f"{name:8s}: {best * 1e3:8.2f} ms  {ops_s / 1e12:6.3f} Tops/s "
-          f"({alu} alu + {gathers} gather per round, {rounds} rounds, "
-          f"{tiles} tiles)", file=sys.stderr)
+          f"({alu} alu + {gathers} gather + {extra_per_round} {extra or '-'}"
+          f" per round, {rounds} rounds, {tiles} tiles)", file=sys.stderr)
     return {"name": name, "wall_s": best, "teraops": ops_s / 1e12,
             "alu_per_round": alu, "gathers_per_round": gathers,
+            "extra": extra, "extra_per_round": extra_per_round,
             "rounds": rounds, "tiles": tiles}
 
 
@@ -159,9 +186,15 @@ def main() -> int:
         _run_case("alu", ns.tiles, ns.rounds, gathers=0, alu=32),
         _run_case("gather", ns.tiles, ns.rounds, gathers=4, alu=32),
         _run_case("mix", ns.tiles, ns.rounds, gathers=2, alu=38),
+        _run_case("imul", ns.tiles, ns.rounds, gathers=0, alu=32,
+                  extra="imul", extra_per_round=4),
+        _run_case("f32rt", ns.tiles, ns.rounds, gathers=0, alu=32,
+                  extra="f32rt", extra_per_round=4),
     ]
     alu = next(r for r in results if r["name"] == "alu")
     gat = next(r for r in results if r["name"] == "gather")
+    imul = next(r for r in results if r["name"] == "imul")
+    f32rt = next(r for r in results if r["name"] == "f32rt")
     if alu["wall_s"] < 1.5 * small["wall_s"]:
         print("ERROR: wall time does not scale with rounds — the compiler "
               "folded the measurement kernel; numbers are invalid",
@@ -172,13 +205,24 @@ def main() -> int:
     peak = elems * 32 / slope  # fixed-overhead-free alu ops/s
     # Marginal cost of one dynamic_gather, in alu-op equivalents.
     g_cost = ((gat["wall_s"] - alu["wall_s"]) / (ns.rounds * 4)) * peak / elems
+    # Same marginal pricing for one int32 vector multiply and for one
+    # convert/+0.5/*const/floor/convert round trip (the kernel's M
+    # pattern; includes one &0xFFFF mask op of harness overhead).
+    m_cost = ((imul["wall_s"] - alu["wall_s"]) / (ns.rounds * 4)) \
+        * peak / elems
+    f_cost = ((f32rt["wall_s"] - alu["wall_s"]) / (ns.rounds * 4)) \
+        * peak / elems
     print(f"slope-fit alu peak: {peak / 1e12:.3f} Tops/s; one gather costs "
-          f"~{g_cost:.1f} alu-ops", file=sys.stderr)
+          f"~{g_cost:.1f} alu-ops; one int32 multiply ~{m_cost:.1f}; one "
+          f"f32 round-trip (convert/madd/floor/convert) ~{f_cost:.1f}",
+          file=sys.stderr)
     out = {
         "device": str(jax.devices()[0]),
         "backend": jax.default_backend(),
         "measured_vpu_peak_teraops": round(peak / 1e12, 3),
         "gather_cost_alu_ops": round(g_cost, 2),
+        "imul_cost_alu_ops": round(m_cost, 2),
+        "f32_roundtrip_cost_alu_ops": round(f_cost, 2),
         "cases": results,
         "note": "sustained int32 VPU alu ops/s in the synthesis kernel's "
                 "(16,128) slab geometry with 8-way ILP, two-point fit "
