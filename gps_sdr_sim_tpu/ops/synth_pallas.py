@@ -172,7 +172,7 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                  uniform: bool = False, premult: bool = False,
                  int_step: bool = True, fmt: int | None = None,
                  nav_gather: bool = False, int_m: bool = False,
-                 ablate: frozenset = frozenset()):
+                 ablate: frozenset = frozenset(), int_nav: bool = False):
     """quantize=False emits the raw int32 accumulators (pre-(acc+64)>>7)
     so a channel-sharded caller can psum partial sums over ICI before
     quantizing — the reference sums ALL channels first (gpssim.c:2192-2259),
@@ -219,7 +219,17 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
     int<->float converts and no multiply-by-1023, exact for
     -1 <= T < 1023*1024 (epoch-rebased T is < ~110k chips; goldens and
     the A/B equality check enforce parity). A/B-able variant
-    (tools/ab_kernel.py); see the M computation below for the default."""
+    (tools/ab_kernel.py); see the M computation below for the default.
+
+    int_nav=True computes the nav-walk bit index by exact integers:
+    bidx = floor((mg+0.5)/20) = floor(mg/20) for integer mg (the +0.5
+    never crosses an integer boundary over 20ths), and floor(mg/20) =
+    floor(floor(mg/4)/5) = ((mg>>2)*104858)>>19 — exact (and int32
+    overflow-free) for -1 <= mg < 81920, verified exhaustively vs the
+    f32 walk over the reachable domain [-1, 2^16+128): m0 < 2^16 (wire
+    packing), in-epoch M < ~128, and mg = -1 only when T = -1. One small
+    int multiply replaces the second f32 convert/floor round trip;
+    A/B-able like int_m."""
     assert not (premult and not uniform), "premult requires uniform tiles"
     assert not (nav_gather and not uniform), "nav_gather requires uniform"
     assert fmt is None or (quantize and _pack_div_ok(fmt))
@@ -336,8 +346,14 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                     dsign = -ca_bit  # profiler stand-in (WRONG samples)
                 else:
                     mg = p(_P_M0) + M
-                    bidx = jnp.floor((mg.astype(jnp.float32) + 0.5)
-                                     * _INV20).astype(jnp.int32)
+                    if int_nav:
+                        # floor(mg/20) by nested exact division (see
+                        # docstring); bit-identical to the f32 walk for
+                        # every reachable mg in [-1, 2^17).
+                        bidx = ((mg >> 2) * 104858) >> 19
+                    else:
+                        bidx = jnp.floor((mg.astype(jnp.float32) + 0.5)
+                                         * _INV20).astype(jnp.int32)
                     j = bidx - p(_P_B0)
                     nav_bit = (p(_P_NAVBITS) >> j) & 1
                     dsign = -(ca_bit ^ nav_bit)
@@ -440,7 +456,7 @@ def _get_pallas_fn(n_chan: int, quantize: bool = True,
                    fmt: int | None = None, tpe: int = 0,
                    int_m: bool = False,
                    ablate: frozenset | None = None,
-                   debug: bool = False):
+                   debug: bool = False, int_nav: bool = False):
     """tpe > 0 (tiles per epoch; requires uniform/epoch-aligned rows)
     enables the v5 nav-gather kernel: run() then takes a third operand,
     the [B*n_chan, 128] per-epoch nav mask table (nav_masks), and tile i
@@ -458,7 +474,8 @@ def _get_pallas_fn(n_chan: int, quantize: bool = True,
     if ablate is None:
         ablate = _ABLATE
     kernel = _make_kernel(n_chan, tile_rows, quantize, uniform, premult,
-                          int_step, fmt, nav_gather, int_m, ablate)
+                          int_step, fmt, nav_gather, int_m, ablate,
+                          int_nav)
     out_dtype = jnp.int16 if quantize else jnp.int32
     tbl = _PACKED_Q0.reshape(1, 128)
     div = PACK_DIV[fmt] if fmt is not None else 1

@@ -13,6 +13,9 @@ Variants (ops/synth_pallas.py::_make_kernel):
   default     the production kernel as synth_staged_packed builds it
   int_m       exact integer code-period count M + chip wrap (no
               int<->float converts, no multiply-by-1023)
+  int_nav     exact integer nav-walk bit index (floor(mg/20) via one
+              small magic multiply instead of the f32 round trip)
+  int_all     int_m + int_nav together: an f32-free kernel body
   nav_gather  the v5 per-epoch nav sign-mask-table gather
   mix         gain multiplied in the mix instead of premultiplied into
               the trig table (premult=False)
@@ -33,7 +36,7 @@ import time
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
-VARIANTS = ("default", "int_m", "nav_gather", "mix")
+VARIANTS = ("default", "int_m", "int_nav", "int_all", "nav_gather", "mix")
 
 
 def main() -> int:
@@ -83,8 +86,10 @@ def main() -> int:
                   premult=premult and variant != "mix", int_step=int_step)
         if variant == "nav_gather":
             kw["tpe"] = SBp // tile
-        if variant == "int_m":
+        if variant in ("int_m", "int_all"):
             kw["int_m"] = True
+        if variant in ("int_nav", "int_all"):
+            kw["int_nav"] = True
         inner = synth_pallas._get_pallas_fn(n_chan, **kw)
 
         @jax.jit
