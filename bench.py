@@ -47,10 +47,13 @@ _BASELINE_X = {16: 4.4, 8: 4.5, 1: 4.8}
 # — measured CHEAPER than a third gather in an interleaved A/B, see
 # _make_kernel doc), carrier ramp (4), quadrant-fused table index (6),
 # trig gather + sign composition (5), mix + accumulate (9) = 53 ALU ops
-# plus 2 dynamic_gathers (together ~7% of kernel time, PROFILE_r03
+# plus 2 dynamic_gathers (together ~2% of kernel time, PROFILE_r04
 # gathers_total_share_of_kernel). Zero vector int32 multiplies remain on
 # the premultiplied path — int32 multiply is emulated multi-op on the
-# VPU, so the raw count understates that win.
+# VPU, so the raw count understates that win. The compiled kernel
+# additionally spends ~8 SMEM-scalar broadcasts and ~2 lowering ops per
+# chan-sample (63 static vector ops total, OPBUDGET_r04.json); the
+# measured-vs-static reconciliation lives in docs/DESIGN.md §2a.
 _OPS_PER_CHAN_SAMPLE = 53
 # Assumed VPU int32 peak per chip: 2 TensorCores x (8 x 128)-lane VPU x
 # ~1.75 GHz x 2 ALU ops/lane/cycle ~ 7.2e12 ops/s. Kept as the stated

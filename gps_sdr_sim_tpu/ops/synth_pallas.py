@@ -172,7 +172,8 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                  uniform: bool = False, premult: bool = False,
                  int_step: bool = True, fmt: int | None = None,
                  nav_gather: bool = False, int_m: bool = False,
-                 ablate: frozenset = frozenset(), int_nav: bool = False):
+                 ablate: frozenset = frozenset(), int_nav: bool = False,
+                 nowrap: bool = True):
     """quantize=False emits the raw int32 accumulators (pre-(acc+64)>>7)
     so a channel-sharded caller can psum partial sums over ICI before
     quantizing — the reference sums ALL channels first (gpssim.c:2192-2259),
@@ -229,7 +230,21 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
     f32 walk over the reachable domain [-1, 2^16+128): m0 < 2^16 (wire
     packing), in-epoch M < ~128, and mg = -1 only when T = -1. One small
     int multiply replaces the second f32 convert/floor round trip;
-    A/B-able like int_m."""
+    A/B-able like int_m.
+
+    nowrap=True (the DEFAULT, adopted by measurement) gathers with
+    mode="promise_in_bounds": jnp.take_along_axis otherwise inserts a
+    negative-index wrap (cmp slt 0 / add size / select — 3 vector ops) in
+    front of EVERY tpu.dynamic_gather, but all eight gather sites in this
+    kernel bound their indices by construction (chip in [0, 1023) so
+    chip>>5 < 32; tl is &127; M < 128 by the nav-mask table contract; the
+    epilogue lane rotations are &127/&63/&7 masked), so the wrap is 6
+    dead vector ops per channel-sample (tools/op_budget.py counted them:
+    cmp 2.0 + select 2.0 + 2 of the adds). Bit-identical by construction
+    AND by the A/B equality gate; interleaved same-window A/B (2026-08-20,
+    400-epoch batch, best-of-9 x 5 reps) measured 0.0629 s vs 0.0643 s —
+    a 2.2% kernel win, every rep faster. nowrap=False (tools/ab_kernel.py
+    variant "wrap") keeps the legacy lowering for re-evaluation."""
     assert not (premult and not uniform), "premult requires uniform tiles"
     assert not (nav_gather and not uniform), "nav_gather requires uniform"
     assert fmt is None or (quantize and _pack_div_ok(fmt))
@@ -242,6 +257,14 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
         # For fmt 8/1 the trailing ref is the row-select VMEM scratch
         # (scratch_shapes), not a second output.
         scratch = q_ref if fmt in (8, 1) else None
+
+        def ga(a, i):
+            """Lane gather; nowrap skips the negative-index wrap ops."""
+            if nowrap:
+                return jnp.take_along_axis(a, i, axis=1,
+                                           mode="promise_in_bounds")
+            return jnp.take_along_axis(a, i, axis=1)
+
         shape = (_SLAB, 128)
         lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         # sample index within the sub-block
@@ -327,7 +350,7 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                 if "no_ca_gather" in ablate:
                     word = chip + lane  # profiler stand-in (WRONG samples)
                 else:
-                    word = jnp.take_along_axis(ca_b[c], chip >> 5, axis=1)
+                    word = ga(ca_b[c], chip >> 5)
                 ca_bit = (word >> (chip & 31)) & 1
 
                 if nav_gather:
@@ -338,7 +361,7 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                     if "no_nav_gather" in ablate:
                         nav_mask = -(M & 1)  # profiler stand-in (WRONG)
                     else:
-                        nav_mask = jnp.take_along_axis(nav_b[c], M, axis=1)
+                        nav_mask = ga(nav_b[c], M)
                     # data sign: -1 iff ca_bit XOR nav bit (masks compose
                     # by XOR; (x^m)-m negates exactly, mod 2^32 like C).
                     dsign = (-ca_bit) ^ nav_mask
@@ -384,8 +407,7 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                 if "no_trig_gather" in ablate:
                     w = tl | (tl << 16)  # profiler stand-in (WRONG samples)
                 else:
-                    w = jnp.take_along_axis(
-                        tbl_c if premult else tbl_b, tl, axis=1)
+                    w = ga(tbl_c if premult else tbl_b, tl)
 
                 ns = (qa >> 31) ^ dsign
                 nc = ((qa ^ qb) >> 31) ^ dsign
@@ -415,9 +437,8 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                     qw = (q16 << 16) >> 16
                     v = (((iw >> 4) & 0xFF) | (((qw >> 4) & 0xFF) << 8)
                          ) << (16 * (lane & 1))
-                    w32 = v + jnp.take_along_axis(v, (lane + 1) & 127,
-                                                  axis=1)
-                    g = jnp.take_along_axis(w32, (lane & 63) * 2, axis=1)
+                    w32 = v + ga(v, (lane + 1) & 127)
+                    g = ga(w32, (lane & 63) * 2)
                     d = PACK_DIV[8]
                     i_ref[s * (_SLAB // d):(s + 1) * (_SLAB // d), :] = \
                         _row_select(scratch, g, 1, 6)
@@ -433,9 +454,8 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                     v = ((iw > 0).astype(jnp.int32) << shift_i) \
                         | ((qw > 0).astype(jnp.int32) << (shift_i - 1))
                     for sh in (1, 2, 4, 8):
-                        v = v + jnp.take_along_axis(v, (lane + sh) & 127,
-                                                    axis=1)
-                    g = jnp.take_along_axis(v, (lane & 7) * 16, axis=1)
+                        v = v + ga(v, (lane + sh) & 127)
+                    g = ga(v, (lane & 7) * 16)
                     d = PACK_DIV[1]
                     i_ref[s * (_SLAB // d):(s + 1) * (_SLAB // d), :] = \
                         _row_select(scratch, g, 4, 3)
@@ -456,7 +476,8 @@ def _get_pallas_fn(n_chan: int, quantize: bool = True,
                    fmt: int | None = None, tpe: int = 0,
                    int_m: bool = False,
                    ablate: frozenset | None = None,
-                   debug: bool = False, int_nav: bool = False):
+                   debug: bool = False, int_nav: bool = False,
+                   nowrap: bool = True):
     """tpe > 0 (tiles per epoch; requires uniform/epoch-aligned rows)
     enables the v5 nav-gather kernel: run() then takes a third operand,
     the [B*n_chan, 128] per-epoch nav mask table (nav_masks), and tile i
@@ -475,7 +496,7 @@ def _get_pallas_fn(n_chan: int, quantize: bool = True,
         ablate = _ABLATE
     kernel = _make_kernel(n_chan, tile_rows, quantize, uniform, premult,
                           int_step, fmt, nav_gather, int_m, ablate,
-                          int_nav)
+                          int_nav, nowrap)
     out_dtype = jnp.int16 if quantize else jnp.int32
     tbl = _PACKED_Q0.reshape(1, 128)
     div = PACK_DIV[fmt] if fmt is not None else 1

@@ -19,6 +19,9 @@ Variants (ops/synth_pallas.py::_make_kernel):
   nav_gather  the v5 per-epoch nav sign-mask-table gather
   mix         gain multiplied in the mix instead of premultiplied into
               the trig table (premult=False)
+  wrap        legacy gather lowering with the negative-index wrap ops
+              (nowrap=False) — the pre-2026-08-20 default, demoted after
+              an interleaved A/B measured promise_in_bounds 2.2% faster
 
 Usage: python tools/ab_kernel.py --b int_m [--a default] [--fmt 16]
            [--batch-epochs 400] [--passes 7] [--reps 3] [--json AB.json]
@@ -36,7 +39,8 @@ import time
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
-VARIANTS = ("default", "int_m", "int_nav", "int_all", "nav_gather", "mix")
+VARIANTS = ("default", "int_m", "int_nav", "int_all", "nav_gather", "mix",
+            "wrap")
 
 
 def main() -> int:
@@ -90,6 +94,8 @@ def main() -> int:
             kw["int_m"] = True
         if variant in ("int_nav", "int_all"):
             kw["int_nav"] = True
+        if variant == "wrap":
+            kw["nowrap"] = False
         inner = synth_pallas._get_pallas_fn(n_chan, **kw)
 
         @jax.jit

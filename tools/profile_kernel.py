@@ -177,6 +177,15 @@ def main() -> int:
         # window noise; PROFILE_r03's subprocess method scored 2.24 here.
         "gather_additivity_check": round(
             (t_trig + t_ca) / max(t_full - t_alu, 1e-12), 3),
+        # Rep-to-rep spread of the full kernel in THIS window: any delta
+        # smaller than this is below the measurement's noise floor and
+        # the additivity ratio over such deltas is vacuous (0/0) — the
+        # honest reading is "that center costs ~0", not "noisy method".
+        "noise_floor_ns_per_chan_sample": round(
+            per_cs_ns(max(reps["full"]) - min(reps["full"])), 4),
+        "additivity_vacuous_below_noise": bool(
+            max(t_trig, t_ca, t_full - t_alu)
+            < max(reps["full"]) - min(reps["full"])),
         "gathers_total_ns_per_chan_sample": round(
             per_cs_ns(t_full - t_alu), 4),
         "gathers_total_share_of_kernel": round(
