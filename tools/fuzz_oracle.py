@@ -235,6 +235,14 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true",
                     help="force JAX_PLATFORMS=cpu for our CLI")
     ap.add_argument("--json", default="")
+    ap.add_argument("--case-timeout", type=float, default=900.0,
+                    help="per-case wall limit for OUR CLI. On the TPU a "
+                         "novel (rate, fmt) shape pays a cold Mosaic "
+                         "compile through the remote service, observed "
+                         ">900 s in slow windows — pallas runs should "
+                         "pass 3600. One retry per case: a killed "
+                         "compile writes no cache entry, so the retry "
+                         "restarts it from scratch.")
     ns = ap.parse_args()
 
     if shutil.which("gcc") is None or not (REF / "gpssim.c").exists():
@@ -260,10 +268,19 @@ def main() -> int:
             if case["fixed_carr"]:
                 argv_ours += ["--carrier-phase", "fixed"]
             t0 = time.time()
-            ours = subprocess.run(
-                [sys.executable, "-m", "gps_sdr_sim_tpu.cli"] + argv_ours,
-                capture_output=True, text=True, timeout=900, env=env,
-                cwd=str(ROOT))
+            for attempt in (0, 1):
+                try:
+                    ours = subprocess.run(
+                        [sys.executable, "-m", "gps_sdr_sim_tpu.cli"]
+                        + argv_ours, capture_output=True, text=True,
+                        timeout=ns.case_timeout, env=env, cwd=str(ROOT))
+                    break
+                except subprocess.TimeoutExpired:
+                    if attempt:
+                        raise
+                    print(f"case {k}: CLI exceeded {ns.case_timeout:.0f} s "
+                          "(cold-compile slow window?), one retry",
+                          file=sys.stderr)
             t_ours = time.time() - t0
             t0 = time.time()
             ref = subprocess.run(
@@ -282,6 +299,14 @@ def main() -> int:
             else:
                 n_fail += 1
             print(f"case {k}: {json.dumps(r)}", file=sys.stderr)
+            if ns.json:  # incremental: a crash/kill keeps finished cases
+                pathlib.Path(ns.json).write_text(json.dumps({
+                    "metric": "oracle_fuzz", "cases": ns.cases,
+                    "seed": ns.seed, "impl": ns.impl,
+                    "completed": k + 1, "passed": n_pass,
+                    "failed": n_fail, "skipped": n_skip,
+                    "pass": n_fail == 0 and k + 1 == ns.cases,
+                    "detail": results}, indent=1))
 
     summary = {
         "metric": "oracle_fuzz", "cases": ns.cases, "seed": ns.seed,
