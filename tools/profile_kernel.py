@@ -93,7 +93,7 @@ def main() -> int:
     B = ns.batch_epochs
     xyz = llh2xyz(np.array([35.681298 / R2D, 139.766247 / R2D, 10.0]))
     cfg = ScenarioConfig(nav_file=str(ROOT / "data" / "brdc3540.14n"),
-                         static_xyz=xyz, duration=0.1 * (B + 2),
+                         static_xyz=xyz, duration=0.1 * (2 * B + 2),
                          samp_freq=2.6e6)
     scn = build_scenario(cfg)
     seg = scn.segments[0]
@@ -129,6 +129,53 @@ def main() -> int:
     for name, fn in fns.items():  # compile + warm every variant first
         t = fn()
         print(f"warmup {name}: {t:.3f} s", file=sys.stderr)
+
+    # Fixed-overhead separation: every one_pass above carries a constant
+    # dispatch + tunnel-latency + checksum-sync cost on top of the
+    # kernel's per-sample time (bench.py's pipelined passes measure the
+    # same kernel ~1.6x faster than a single synchronous pass at B=400,
+    # which is how the overhead was noticed). Timing the FULL kernel at
+    # three batch sizes and fitting a line gives slope = true
+    # ns/chan-sample and intercept = per-pass overhead; the single-size
+    # ablation deltas below are differences of equal-overhead passes, so
+    # they stay valid as deltas.
+    def build_sized(epochs):
+        eb = pad_epochs(plan_epochs(seg, 0, epochs, scn.delt), epochs)
+        w2, ca2, nc2, pm2, is2 = synth_pallas.stage_epochs(eb)
+        inner = synth_pallas._get_pallas_fn(
+            nc2, uniform=True, tile_rows=tile, premult=pm2,
+            int_step=is2, fmt=16, ablate=frozenset())
+
+        @jax.jit
+        def run2(w2, ca2):
+            params, _rows = synth_pallas._wire_to_params(
+                w2, sub_blocks, align=True)
+            return inner(params, ca2).reshape(w2.shape[0], SBp * SUBBLOCK)
+
+        def one_pass2():
+            t0 = time.time()
+            w = run2(w2, ca2)
+            s, _z = checksum_packed(w, epochs, n, 16)
+            _ = int(np.asarray(s))
+            return time.time() - t0
+
+        return one_pass2
+
+    sizes = sorted({B // 4, B, 2 * B})
+    sized = {e: build_sized(e) for e in sizes}
+    for e, fn in sized.items():
+        print(f"warmup full@B={e}: {fn():.3f} s", file=sys.stderr)
+    size_best = {e: [] for e in sizes}
+    for rep in range(ns.reps):
+        for e, fn in sized.items():
+            size_best[e].append(min(fn() for _ in range(ns.passes)))
+    xs = np.array(sizes, dtype=np.float64) * n * n_chan
+    ys = np.array([min(size_best[e]) for e in sizes])
+    slope, intercept = np.polyfit(xs, ys, 1)
+    overhead_ms = float(intercept) * 1e3
+    slope_ns = float(slope) * 1e9
+    print(f"slope fit: {slope_ns:.4f} ns/chan-sample kernel + "
+          f"{overhead_ms:.1f} ms fixed per pass", file=sys.stderr)
 
     reps: dict = {name: [] for name in fns}
     for rep in range(ns.reps):
@@ -175,8 +222,12 @@ def main() -> int:
         # Self-test: the two single-gather deltas must sum to the joint
         # all-gathers delta. Near 1.0 = the interleaving removed the
         # window noise; PROFILE_r03's subprocess method scored 2.24 here.
-        "gather_additivity_check": round(
-            (t_trig + t_ca) / max(t_full - t_alu, 1e-12), 3),
+        # None when the deltas are below the noise floor: the ratio is
+        # then 0/0 and any value it takes is meaningless.
+        "gather_additivity_check": (
+            None if max(t_trig, t_ca, abs(t_full - t_alu))
+            < max(reps["full"]) - min(reps["full"])
+            else round((t_trig + t_ca) / max(t_full - t_alu, 1e-12), 3)),
         # Rep-to-rep spread of the full kernel in THIS window: any delta
         # smaller than this is below the measurement's noise floor and
         # the additivity ratio over such deltas is vacuous (0/0) — the
@@ -210,8 +261,24 @@ def main() -> int:
             (rows["full_sc01"]["best_s"] - t_full) / samples * 1e9, 4),
     }
 
+    overhead = {
+        "batch_sizes_epochs": sizes,
+        "best_s_per_size": {str(e): round(min(size_best[e]), 5)
+                            for e in sizes},
+        "kernel_slope_ns_per_chan_sample": round(slope_ns, 4),
+        "fixed_overhead_ms_per_pass": round(overhead_ms, 2),
+        "note": ("every single-pass time above includes the fixed "
+                 "overhead; the slope is the true per-sample kernel "
+                 "cost. Ablation deltas subtract equal overheads and "
+                 "stay valid."),
+    }
+    if alu_rate:
+        overhead["kernel_slope_equiv_alu_ops"] = round(
+            slope_ns * 1e-9 * alu_rate, 1)
+
     out = {
         "metric": "kernel_cost_attribution",
+        "overhead_separation": overhead,
         "method": ("interleaved same-window ablation: all variants "
                    "compiled in one process (explicit ablate= cache keys) "
                    "and timed alternately, best of passes x reps"),
