@@ -173,7 +173,7 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                  int_step: bool = True, fmt: int | None = None,
                  nav_gather: bool = False, int_m: bool = False,
                  ablate: frozenset = frozenset(), int_nav: bool = False,
-                 nowrap: bool = True):
+                 nowrap: bool = True, tree: bool = False):
     """quantize=False emits the raw int32 accumulators (pre-(acc+64)>>7)
     so a channel-sharded caller can psum partial sums over ICI before
     quantizing — the reference sums ALL channels first (gpssim.c:2192-2259),
@@ -244,7 +244,17 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
     AND by the A/B equality gate; interleaved same-window A/B (2026-08-20,
     400-epoch batch, best-of-9 x 5 reps) measured 0.0629 s vs 0.0643 s —
     a 2.2% kernel win, every rep faster. nowrap=False (tools/ab_kernel.py
-    variant "wrap") keeps the legacy lowering for re-evaluation."""
+    variant "wrap") keeps the legacy lowering for re-evaluation.
+
+    tree=True accumulates the per-channel contributions by pairwise
+    tree reduction instead of the serial iacc += chain: int32 addition
+    is associative mod 2^32, so the result is bit-identical, but the
+    serial chain is a loop-carried dependency n_chan adds deep where
+    the tree is ceil(log2(n_chan)) — a pure critical-path experiment
+    (same op count, more live slabs). MEASURED NEUTRAL (1.007x,
+    interleaved A/B 2026-08-20, AB_TREE_r04.json): the scheduler
+    already fills the serial chain's latency with the independent
+    per-channel chains, so the default stays serial."""
     assert not (premult and not uniform), "premult requires uniform tiles"
     assert not (nav_gather and not uniform), "nav_gather requires uniform"
     assert fmt is None or (quantize and _pack_div_ok(fmt))
@@ -308,7 +318,16 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                     tuple(r * p0(_P_CARR_S + k) for k in range(2)),
                     tbl_c))
 
+        def _treesum(parts):
+            while len(parts) > 1:
+                odd = [parts[-1]] if len(parts) % 2 else []
+                parts = [a + b for a, b in
+                         zip(parts[0::2], parts[1::2])] + odd
+            return parts[0]
+
         for s in range(tile_rows):
+            iparts: list = []
+            qparts: list = []
             iacc = jnp.zeros(shape, jnp.int32)
             qacc = jnp.zeros(shape, jnp.int32)
             for c in range(n_chan):
@@ -416,9 +435,16 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                 if not premult:
                     gs = gs * p(_P_GAIN)
                     gc = gc * p(_P_GAIN)
-                iacc = iacc + ((gc ^ nc) - nc)
-                qacc = qacc + ((gs ^ ns) - ns)
+                if tree:
+                    iparts.append((gc ^ nc) - nc)
+                    qparts.append((gs ^ ns) - ns)
+                else:
+                    iacc = iacc + ((gc ^ nc) - nc)
+                    qacc = qacc + ((gs ^ ns) - ns)
 
+            if tree:
+                iacc = _treesum(iparts)
+                qacc = _treesum(qparts)
             sl = slice(s * _SLAB, (s + 1) * _SLAB)
             if fmt is not None:
                 i16 = (iacc + 64) >> 7
@@ -477,7 +503,7 @@ def _get_pallas_fn(n_chan: int, quantize: bool = True,
                    int_m: bool = False,
                    ablate: frozenset | None = None,
                    debug: bool = False, int_nav: bool = False,
-                   nowrap: bool = True):
+                   nowrap: bool = True, tree: bool = False):
     """tpe > 0 (tiles per epoch; requires uniform/epoch-aligned rows)
     enables the v5 nav-gather kernel: run() then takes a third operand,
     the [B*n_chan, 128] per-epoch nav mask table (nav_masks), and tile i
@@ -496,7 +522,7 @@ def _get_pallas_fn(n_chan: int, quantize: bool = True,
         ablate = _ABLATE
     kernel = _make_kernel(n_chan, tile_rows, quantize, uniform, premult,
                           int_step, fmt, nav_gather, int_m, ablate,
-                          int_nav, nowrap)
+                          int_nav, nowrap, tree)
     out_dtype = jnp.int16 if quantize else jnp.int32
     tbl = _PACKED_Q0.reshape(1, 128)
     div = PACK_DIV[fmt] if fmt is not None else 1

@@ -40,7 +40,7 @@ ROOT = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
 VARIANTS = ("default", "int_m", "int_nav", "int_all", "nav_gather", "mix",
-            "wrap")
+            "wrap", "tree")
 
 
 def main() -> int:
@@ -96,6 +96,8 @@ def main() -> int:
             kw["int_nav"] = True
         if variant == "wrap":
             kw["nowrap"] = False
+        if variant == "tree":
+            kw["tree"] = True
         inner = synth_pallas._get_pallas_fn(n_chan, **kw)
 
         @jax.jit
