@@ -22,6 +22,9 @@ Variants (ops/synth_pallas.py::_make_kernel):
   wrap        legacy gather lowering with the negative-index wrap ops
               (nowrap=False) — the pre-2026-08-20 default, demoted after
               an interleaved A/B measured promise_in_bounds 2.2% faster
+  tree        pairwise tree-reduced channel accumulation (bit-identical
+              by int32 associativity; measured neutral 1.007x
+              2026-08-20, AB_TREE_r04.json — default stays serial)
 
 Usage: python tools/ab_kernel.py --b int_m [--a default] [--fmt 16]
            [--batch-epochs 400] [--passes 7] [--reps 3] [--json AB.json]
