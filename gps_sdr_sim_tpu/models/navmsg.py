@@ -195,21 +195,21 @@ def compute_checksum(source: int, nib: bool) -> int:
     D30 = (source >> 30) & 0x1
 
     if nib:  # Solve bits 23/24 so parity-trailing bits are 00 (words 2, 10)
-        if (D30 + bin(_BMASK[4] & d).count("1")) % 2:
+        if (D30 + (_BMASK[4] & d).bit_count()) % 2:
             d ^= 0x1 << 6
-        if (D29 + bin(_BMASK[5] & d).count("1")) % 2:
+        if (D29 + (_BMASK[5] & d).bit_count()) % 2:
             d ^= 0x1 << 7
 
     D = d
     if D30:
         D ^= 0x3FFFFFC0
 
-    D |= ((D29 + bin(_BMASK[0] & d).count("1")) % 2) << 5
-    D |= ((D30 + bin(_BMASK[1] & d).count("1")) % 2) << 4
-    D |= ((D29 + bin(_BMASK[2] & d).count("1")) % 2) << 3
-    D |= ((D30 + bin(_BMASK[3] & d).count("1")) % 2) << 2
-    D |= ((D30 + bin(_BMASK[4] & d).count("1")) % 2) << 1
-    D |= (D29 + bin(_BMASK[5] & d).count("1")) % 2
+    D |= ((D29 + (_BMASK[0] & d).bit_count()) % 2) << 5
+    D |= ((D30 + (_BMASK[1] & d).bit_count()) % 2) << 4
+    D |= ((D29 + (_BMASK[2] & d).bit_count()) % 2) << 3
+    D |= ((D30 + (_BMASK[3] & d).bit_count()) % 2) << 2
+    D |= ((D30 + (_BMASK[4] & d).bit_count()) % 2) << 1
+    D |= (D29 + (_BMASK[5] & d).bit_count()) % 2
 
     return D & 0x3FFFFFFF
 

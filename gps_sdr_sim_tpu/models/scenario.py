@@ -478,7 +478,14 @@ class _Engine:
             seg_start = end + 1
 
     def _run_segment(self, start: int, end: int) -> Segment:
-        """Vectorized per-epoch state for epochs [start, end] (inclusive)."""
+        """Per-epoch state for epochs [start, end], vectorized over BOTH
+        the epoch and the channel axis.
+
+        One batched compute_range call covers every active channel (fields
+        shaped [A, 1] broadcasting against g_sec [E]); all per-element f64
+        arithmetic is identical to the per-channel formulation, so the
+        output is bit-exact regardless of how many channels are batched.
+        """
         E = end - start + 1
         C = MAX_CHAN
         fields = self._fields(self.ieph)
@@ -495,75 +502,96 @@ class _Engine:
         ca = np.ones((C, CA_SEQ_LEN), dtype=np.int8)
         bits = np.ones((C, 1800), dtype=np.int8)
 
+        act = [ci for ci in range(C) if self.chan[ci].prn > 0]
+        if not act:
+            return Segment(
+                first_epoch=start, n_epochs=E, active=active, prn=prn,
+                ca=ca, bits=bits, f_carr=f_carr, f_code=f_code,
+                code_phase0=code_phase0, carr_phase0=carr_phase0, m0=m0,
+                gain=gain, carr_fixed=self.fixed_carr)
+        chans = [self.chan[ci] for ci in act]
+        svs = np.array([ch.prn - 1 for ch in chans])
+        A = len(act)
+
         g_sec = self.grx_sec[start:end + 1]  # [E]
         xyz_seg = self.xyz_ep[start:end + 1]
         llh_seg = xyz2llh(xyz_seg)       # once per segment, not per channel
         tmat_seg = ltcmat(llh_seg)
 
-        for ci in range(C):
-            ch = self.chan[ci]
-            if ch.prn == 0:
-                continue
-            sv = ch.prn - 1
-            one = {k: v[sv] for k, v in fields.items()}
-            rho = compute_range(one, self.ionoutc, g_sec, xyz_seg,
-                                llh=llh_seg, tmat=tmat_seg)
+        many = {k: v[svs][:, None] for k, v in fields.items()}  # [A, 1]
+        rho = compute_range(many, self.ionoutc, g_sec, xyz_seg,
+                            llh=llh_seg, tmat=tmat_seg)  # values [A, E]
 
-            # rho0 chain: previous epoch's range, then this segment's.
-            rr = np.concatenate([[ch.rho0_range], rho["range"]])
-            rate = (rr[1:] - rr[:-1]) / 0.1
-            f_carr[:, ci] = -rate / LAMBDA_L1
-            f_code[:, ci] = CODE_FREQ + f_carr[:, ci] * CARR_TO_CODE
+        # rho0 chain: previous epoch's range, then this segment's.
+        rho0_range = np.array([ch.rho0_range for ch in chans])
+        rr = np.concatenate([rho0_range[:, None], rho["range"]], axis=1)
+        rate = (rr[:, 1:] - rr[:, :-1]) / 0.1
+        fc = -rate / LAMBDA_L1  # [A, E]
+        f_carr[:, act] = fc.T
+        f_code[:, act] = (CODE_FREQ + fc * CARR_TO_CODE).T
 
-            # ms counter from the *previous* epoch's observation time
-            # (computeCodePhase, gpssim.c:1331-1342).
-            prev_week = np.concatenate(
-                [[ch.rho0_week], self.grx_week[start:end]])
-            prev_sec = np.concatenate(
-                [[ch.rho0_gsec], self.grx_sec[start:end]])
-            trel = (prev_sec - ch.g0.sec) \
-                + (prev_week - ch.g0.week) * 604800.0
-            ms = ((trel + 6.0) - rr[:-1] / SPEED_OF_LIGHT) * 1000.0
-            ims = ms.astype(np.int64)  # C (int) truncation
-            code_phase0[:, ci] = (ms - ims) * CA_SEQ_LEN
-            m0[:, ci] = ims
+        # ms counter from the *previous* epoch's observation time
+        # (computeCodePhase, gpssim.c:1331-1342).
+        prev_week = np.concatenate(
+            [np.array([ch.rho0_week for ch in chans], np.float64)[:, None],
+             np.broadcast_to(self.grx_week[start:end], (A, E - 1))], axis=1)
+        prev_sec = np.concatenate(
+            [np.array([ch.rho0_gsec for ch in chans])[:, None],
+             np.broadcast_to(self.grx_sec[start:end], (A, E - 1))], axis=1)
+        g0_sec = np.array([ch.g0.sec for ch in chans])[:, None]
+        g0_week = np.array([ch.g0.week for ch in chans],
+                           np.float64)[:, None]
+        trel = (prev_sec - g0_sec) + (prev_week - g0_week) * 604800.0
+        ms = ((trel + 6.0) - rr[:, :-1] / SPEED_OF_LIGHT) * 1000.0
+        ims = ms.astype(np.int64)  # C (int) truncation
+        code_phase0[:, act] = ((ms - ims) * CA_SEQ_LEN).T
+        m0[:, act] = ims.T
 
-            # Carrier phase: analytic continuation of the reference's
-            # per-sample accumulate-and-wrap. float mode: the f64 NCO
-            # (gpssim.c:2244-2250). fixed mode: the 32-bit NCO stepping by
-            # round(2^25 * f_carr * delt) counts (gpssim.c:2175-2177,
-            # :2252) — the per-epoch advance N*step is EXACT integer
-            # arithmetic, and only the phase mod 2^25 reaches the 9-bit
-            # table index, so tracking mod 2^25 reproduces the wrapping
-            # 32-bit add bit-for-bit.
-            if self.fixed_carr:
-                steps25 = c_round(
-                    f_carr[:, ci] * self.delt * 33554432.0).astype(np.int64)
-                cum = ch.carr_phase25 + np.concatenate(
-                    [[0], np.cumsum(self.N * steps25)])
-                ph25 = cum % (1 << 25)
-                carr_phase0[:, ci] = ph25[:-1] / 33554432.0
-                ch.carr_phase25 = int(ph25[-1])
-            else:
-                inc = self.N * f_carr[:, ci] * self.delt
-                phases = ch.carr_phase + np.concatenate(
-                    [[0.0], np.cumsum(inc)])
-                carr_phase0[:, ci] = phases[:-1] - np.floor(phases[:-1])
-                ch.carr_phase = float(phases[-1] - math.floor(phases[-1]))
+        # Carrier phase: analytic continuation of the reference's
+        # per-sample accumulate-and-wrap. float mode: the f64 NCO
+        # (gpssim.c:2244-2250). fixed mode: the 32-bit NCO stepping by
+        # round(2^25 * f_carr * delt) counts (gpssim.c:2175-2177,
+        # :2252) — the per-epoch advance N*step is EXACT integer
+        # arithmetic, and only the phase mod 2^25 reaches the 9-bit
+        # table index, so tracking mod 2^25 reproduces the wrapping
+        # 32-bit add bit-for-bit.
+        if self.fixed_carr:
+            steps25 = c_round(fc * self.delt * 33554432.0).astype(np.int64)
+            ph250 = np.array([ch.carr_phase25 for ch in chans])[:, None]
+            cum = ph250 + np.concatenate(
+                [np.zeros((A, 1), np.int64),
+                 np.cumsum(self.N * steps25, axis=1)], axis=1)
+            ph25 = cum % (1 << 25)
+            carr_phase0[:, act] = (ph25[:, :-1] / 33554432.0).T
+            for i, ch in enumerate(chans):
+                ch.carr_phase25 = int(ph25[i, -1])
+        else:
+            inc = self.N * fc * self.delt
+            ph0 = np.array([ch.carr_phase for ch in chans])[:, None]
+            phases = ph0 + np.concatenate(
+                [np.zeros((A, 1)), np.cumsum(inc, axis=1)], axis=1)
+            carr_phase0[:, act] = \
+                (phases[:, :-1] - np.floor(phases[:, :-1])).T
+            for i, ch in enumerate(chans):
+                ch.carr_phase = float(phases[i, -1]
+                                      - math.floor(phases[i, -1]))
 
-            # Amplitude model uses the *current* epoch's range (gpssim.c:2179).
-            gain[:, ci] = signal_gain(rho["d"], rho["azel"][:, 1])
+        # Amplitude model uses the *current* epoch's range (gpssim.c:2179).
+        gain[:, act] = signal_gain(rho["d"], rho["azel"][..., 1]).T
 
+        for i, ci in enumerate(act):
+            ch = chans[i]
             ca[ci] = (ch.ca * 2 - 1).astype(np.int8)
             bits[ci] = dwrd_to_bits(ch.dwrd)
 
             # Advance channel state to the segment end.
-            ch.rho0_range = float(rho["range"][-1])
+            ch.rho0_range = float(rho["range"][i, -1])
             ch.rho0_gsec = float(g_sec[-1])
             ch.rho0_week = int(self.grx_week[end])
-            ch.rho0_d = float(rho["d"][-1])
-            ch.rho0_iono = float(rho["iono_delay"][-1])
-            ch.azel = (float(rho["azel"][-1, 0]), float(rho["azel"][-1, 1]))
+            ch.rho0_d = float(rho["d"][i, -1])
+            ch.rho0_iono = float(rho["iono_delay"][i, -1])
+            ch.azel = (float(rho["azel"][i, -1, 0]),
+                       float(rho["azel"][i, -1, 1]))
 
         return Segment(
             first_epoch=start, n_epochs=E, active=active, prn=prn, ca=ca,

@@ -117,11 +117,16 @@ def _limbs(x: np.ndarray) -> np.ndarray:
 
 
 def _limbs8(x: np.ndarray, n: int = 7) -> np.ndarray:
-    """Split int64 values (< 2^(8n)) into n 8-bit limbs, int32.
+    """Split non-negative int64 values (< 2^(8n)) into n 8-bit limbs, int32.
 
     8-bit limbs let the *device* perform the per-sub-block rebase exactly:
-    k0 < 2^18 times an 8-bit limb stays under 2^26 in int32.
+    k0 < 2^18 times an 8-bit limb stays under 2^26 in int32. For n=8 the
+    limbs are exactly the value's little-endian bytes, so a byte view
+    replaces the 8-step shift/mask loop.
     """
+    if n == 8:
+        return np.ascontiguousarray(x.astype(np.int64, copy=False)) \
+            .view(np.uint8).reshape(x.shape + (8,)).astype(np.int32)
     out = np.empty(x.shape + (n,), dtype=np.int32)
     for j in range(n):
         out[..., j] = ((x >> (8 * j)) & 0xFF).astype(np.int32)
@@ -266,19 +271,39 @@ class EpochBatch:
     synth_pallas._device_rebase), so the host->device transfer is ~40 int32
     per (epoch, channel) regardless of sample rate. Channels are compacted
     (active first, n_chan of them) so inactive channels cost nothing.
+
+    Phases/steps are stored as the raw non-negative 2^56-scaled int64
+    words; the 8-bit-limb form the device unpacks (and tests inspect) is
+    exactly their little-endian byte view, exposed via the *_8 properties.
     """
 
     t0: np.ndarray  # [B, C] int32 floor(code_phase0), chips
-    code_f8: np.ndarray  # [B, C, 8] int32 8-bit limbs, frac(code_phase0)*2^56
-    code_s8: np.ndarray  # [B, C, 8] int32 8-bit limbs of the code step * 2^56
-    carr_f8: np.ndarray  # [B, C, 8]
-    carr_s8: np.ndarray  # [B, C, 8]
+    code_f: np.ndarray  # [B, C] int64 frac(code_phase0) * 2^56
+    code_s: np.ndarray  # [B, C] int64 code step * 2^56 (incl. integer chips)
+    carr_f: np.ndarray  # [B, C] int64 frac(carr_phase0) * 2^56
+    carr_s: np.ndarray  # [B, C] int64 carrier step * 2^56, in [0, 2^56)
     m0: np.ndarray  # [B, C] int32
     b0: np.ndarray  # [B, C] int32
     navbits: np.ndarray  # [B, C] int32
     gain: np.ndarray  # [B, C] int32
     ca_words: np.ndarray  # [C, 32] int32 bit-packed chips
     n_chan: int
+
+    @property
+    def code_f8(self) -> np.ndarray:  # [B, C, 8] int32 8-bit limbs
+        return _limbs8(self.code_f, 8)
+
+    @property
+    def code_s8(self) -> np.ndarray:
+        return _limbs8(self.code_s, 8)
+
+    @property
+    def carr_f8(self) -> np.ndarray:
+        return _limbs8(self.carr_f, 8)
+
+    @property
+    def carr_s8(self) -> np.ndarray:
+        return _limbs8(self.carr_s, 8)
 
 
 def plan_epochs(seg: Segment, e0: int, e1: int, delt: float,
@@ -309,17 +334,16 @@ def plan_epochs(seg: Segment, e0: int, e1: int, delt: float,
     s_carr = _carr_step56(f_carr, delt, seg.carr_fixed)
 
     t0f = np.floor(code_phase0)
-    code_f8 = _limbs8(((code_phase0 - t0f) * _SCALE56).astype(np.int64), 8)
-    carr_f8 = _limbs8(
-        ((carr_phase0 - np.floor(carr_phase0)) * _SCALE56).astype(np.int64), 8)
+    code_f = ((code_phase0 - t0f) * _SCALE56).astype(np.int64)
+    carr_f = ((carr_phase0 - np.floor(carr_phase0)) * _SCALE56) \
+        .astype(np.int64)
 
     b0, navbits = _pack_navbits(bits, m0)
     ca_words = _pack_ca_words(ca)
 
     return EpochBatch(
-        t0=t0f.astype(np.int32), code_f8=code_f8,
-        code_s8=_limbs8(s_code, 8), carr_f8=carr_f8,
-        carr_s8=_limbs8(s_carr, 8), m0=m0.astype(np.int32),
+        t0=t0f.astype(np.int32), code_f=code_f, code_s=s_code,
+        carr_f=carr_f, carr_s=s_carr, m0=m0.astype(np.int32),
         b0=b0.astype(np.int32), navbits=navbits, gain=gain,
         ca_words=ca_words, n_chan=n_chan)
 
@@ -345,14 +369,24 @@ def _pack4(l8: np.ndarray) -> np.ndarray:
     return np.stack([lo, hi], axis=-1).astype(np.uint32).view(np.int32)
 
 
+def _split2(x: np.ndarray) -> np.ndarray:
+    """int64 [..., ] -> [..., 2] int32 (lo, hi words).
+
+    Little-endian view identity: equals _pack4(_limbs8(x, 8)) for the
+    non-negative phase/step words, with zero arithmetic.
+    """
+    return np.ascontiguousarray(x.astype(np.int64, copy=False)) \
+        .view(np.int32).reshape(x.shape + (2,))
+
+
 def pack_epoch_wire(eb: EpochBatch) -> np.ndarray:
     """EpochBatch -> single [B, C, WIRE_LANES] int32 upload."""
     B, C = eb.t0.shape
     w = np.empty((B, C, WIRE_LANES), dtype=np.int32)
-    w[..., 0:2] = _pack4(eb.code_f8)
-    w[..., 2:4] = _pack4(eb.code_s8)
-    w[..., 4:6] = _pack4(eb.carr_f8)
-    w[..., 6:8] = _pack4(eb.carr_s8)
+    w[..., 0:2] = _split2(eb.code_f)
+    w[..., 2:4] = _split2(eb.code_s)
+    w[..., 4:6] = _split2(eb.carr_f)
+    w[..., 6:8] = _split2(eb.carr_s)
     w[..., 8] = eb.t0
     w[..., 9] = eb.m0 | (eb.b0 << 16)  # m0 < 2^16, b0 < 2^11
     w[..., 10] = eb.navbits

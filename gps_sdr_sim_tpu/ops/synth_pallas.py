@@ -891,7 +891,7 @@ def stage_epochs(eb):
 
     # int_step gate: skip the integer-step lane when every code step is
     # < 1 chip/sample (2^56 bits >= 56 all zero — any rate > ~1.023 Msps).
-    int_step = bool(np.any(eb.code_s8[..., 7]))
+    int_step = bool(np.any(eb.code_s >> 56))
     return (jnp.asarray(pack_epoch_wire(eb)), _ca_device(eb.ca_words),
             max(eb.n_chan, 1), premult_ok(eb.gain), int_step)
 
