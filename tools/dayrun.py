@@ -59,6 +59,9 @@ def _cfg(ns):
 
 
 def phase_synth(ns) -> int:
+    import queue
+    import threading
+
     from gps_sdr_sim_tpu.utils.compcache import enable as enable_cache
 
     enable_cache()
@@ -89,8 +92,6 @@ def phase_synth(ns) -> int:
     nz_min = 1 << 62
     batches = 0
     timeline = []  # one row per checksum drain: interval throughput
-    t_run = time.time()
-    t_last, e_last = t_run, 0
 
     def _stage(item):
         nonlocal plan_s
@@ -101,20 +102,58 @@ def phase_synth(ns) -> int:
         plan_s += time.time() - t
         return staged
 
-    def batch_gen():
-        nonlocal plan_s
-        it = iter_segment_batches(engine.iter_run(), 0, total, B)
-        while True:
-            t = time.time()  # segment planning happens inside next()
-            item = next(it, None)
-            plan_s += time.time() - t
-            if item is None:
-                return
-            yield item
+    # Planning runs on a BACKGROUND thread feeding a bounded queue: on a
+    # single core it cannot add CPU, but whenever the main thread blocks
+    # with the GIL released — the bulk checksum drain (device sync) and
+    # the ~20 s of sampled-block readbacks over the 35 MB/s tunnel — the
+    # planner keeps producing, so plan time hides under device/transfer
+    # waits instead of serializing with them (DAYRUN_r04's 127 s plan_s
+    # was 26% of wall; post-vectorization it is ~20 s and overlapped).
+    q: queue.Queue = queue.Queue(maxsize=3)
+    plan_err = []
 
-    stream = synth_pallas.iter_staged(batch_gen(), _stage)
+    def _producer():
+        nonlocal plan_s
+        try:
+            it = iter_segment_batches(engine.iter_run(), 0, total, B)
+            while True:
+                t = time.time()  # segment planning happens inside next()
+                item = next(it, None)
+                plan_s += time.time() - t
+                if item is None:
+                    break
+                q.put((_stage(item), item))
+        except BaseException as ex:  # surfaced on the main thread
+            plan_err.append(ex)
+        finally:
+            q.put(None)
+
+    t_run = time.time()
+    t_last, e_last = t_run, 0
+    threading.Thread(target=_producer, daemon=True).start()
+
+    drain_every = max(1, ns.drain_epochs // B)  # batches between syncs
     pending_sums = []  # device scalars; drained in bulk
-    for staged, (seg, e0, e1) in stream:
+    pending_fetch = []  # (block_lo, device slice, recompute) awaiting D2H
+
+    def _collect_fetches():
+        # Materialize sampled-block readbacks started earlier: the D2H
+        # copy has been streaming through the tunnel while later batches
+        # synthesized, so this mostly just picks up finished bytes.
+        for blo, sl, recompute in pending_fetch:
+            host = _fetch_with_retry(sl, recompute)
+            by = words_to_bytes(host, n, ns.fmt)
+            sampled.setdefault(blo, []).append(
+                bytes(np.ascontiguousarray(by)))
+        pending_fetch.clear()
+
+    while True:
+        got = q.get()
+        if got is None:
+            if plan_err:
+                raise plan_err[0]
+            break
+        staged, (seg, e0, e1) = got
         words = synth_pallas.synth_staged_packed(staged, n, ns.fmt)
         s, z = checksum_packed(words, e1 - e0, n, ns.fmt)
         pending_sums.append((s, z))
@@ -122,25 +161,30 @@ def phase_synth(ns) -> int:
         out_hi = seg.first_epoch - 1 + e1
         for blo, bhi in blocks:
             a, b = max(blo, out_lo), min(bhi, out_hi)
-            if a < b:  # fetch this batch's slice of a sampled block
+            if a < b:  # start this batch's slice of a sampled block
                 # Slice epoch rows ON DEVICE before the fetch: the tunnel
                 # runs at ~35 MB/s, so pulling the whole ~100 MB batch per
                 # block (33 blocks over a day) would cost ~28 h of
-                # readback vs ~10 MB/block sliced.
+                # readback vs ~10 MB/block sliced. The copy starts ASYNC
+                # and is collected at the next drain, overlapping the
+                # transfer with device compute of the following batches.
                 lo_r, hi_r = a - out_lo, b - out_lo
-                host = _fetch_with_retry(
-                    words[lo_r:hi_r],
-                    lambda lo_r=lo_r, hi_r=hi_r: synth_pallas.
-                    synth_staged_packed(_stage((seg, e0, e1)), n,
-                                        ns.fmt)[lo_r:hi_r])
-                by = words_to_bytes(host, n, ns.fmt)
-                sampled.setdefault(blo, []).append(
-                    bytes(np.ascontiguousarray(by)))
+                sl = words[lo_r:hi_r]
+                try:
+                    sl.copy_to_host_async()
+                except Exception:
+                    pass  # backends without async D2H fetch at collect
+                pending_fetch.append((
+                    blo, sl,
+                    lambda lo_r=lo_r, hi_r=hi_r, seg=seg, e0=e0, e1=e1:
+                    synth_pallas.synth_staged_packed(
+                        _stage((seg, e0, e1)), n, ns.fmt)[lo_r:hi_r]))
         batches += 1
-        if batches % 20 == 0:
+        if batches % drain_every == 0:
+            _collect_fetches()
             # Drain checksums in ONE transfer: forces device sync, which
-            # bounds in-flight batch buffers (each ~100 MB of HBM) while
-            # keeping the dispatch pipeline ~20 batches deep.
+            # bounds in-flight batch buffers (each ~B*n*4 B of HBM) while
+            # keeping the dispatch pipeline drain_epochs epochs deep.
             drained = np.asarray(jnp.stack(
                 [jnp.stack(p) for p in pending_sums]))
             sums.extend(int(v) for v in drained[:, 0])
@@ -148,8 +192,8 @@ def phase_synth(ns) -> int:
             pending_sums.clear()
             done = out_hi / total
             now = time.time()
-            # Per-interval throughput row (epochs + wall + plan time since
-            # the previous drain) — attributes sustained-vs-headline gaps
+            # Per-interval throughput row (epochs + wall since the
+            # previous drain) — attributes sustained-vs-headline gaps
             # to device weather (slow intervals) vs pipeline structure
             # (uniformly low rate).
             timeline.append({
@@ -163,6 +207,7 @@ def phase_synth(ns) -> int:
             rate = out_hi * n / (now - t_run)
             print(f"\r{done * 100:5.1f}%  {rate / 1e9:.2f} Gsamples/s  "
                   f"plan {plan_s:.0f} s", end="", file=sys.stderr)
+    _collect_fetches()
     if pending_sums:
         drained = np.asarray(jnp.stack([jnp.stack(p) for p in pending_sums]))
         sums.extend(int(v) for v in drained[:, 0])
@@ -188,7 +233,10 @@ def phase_synth(ns) -> int:
         "total_samples": scn.total_samples,
         "wall_s": round(wall, 1),
         "build_s": round(t_run - t0, 2),
+        "batch_epochs": B,
+        "drain_epochs": ns.drain_epochs,
         "plan_s": round(plan_s, 1),
+        "plan_overlapped": True,  # planner thread; plan_s hides in waits
         "plan_epochs_per_s": round(total / max(plan_s, 1e-9), 1),
         "realtime_factor": round(ns.duration / wall, 1),
         "samples_per_s": round(scn.total_samples / wall / 1e9, 3),
@@ -338,7 +386,12 @@ def main() -> int:
     ap.add_argument("--duration", type=float, default=86400.0)
     ap.add_argument("--samp-freq", type=float, default=2.6e6)
     ap.add_argument("--fmt", type=int, default=16, choices=(16, 8, 1))
-    ap.add_argument("--batch-epochs", type=int, default=100)
+    # 200-epoch batches halve per-dispatch overhead vs r04's 100 (the
+    # ~25 ms fixed cost is per synchronous pass, PROFILE_r04); the drain
+    # cadence is in EPOCHS so the HBM bound (~drain_epochs*n*4 B of
+    # in-flight output) and timeline granularity are batch-size-invariant.
+    ap.add_argument("--batch-epochs", type=int, default=200)
+    ap.add_argument("--drain-epochs", type=int, default=2000)
     ap.add_argument("--block-epochs", type=int, default=20)
     ap.add_argument("--filler-blocks", type=int, default=8)
     ap.add_argument("--json", default=str(ROOT / "DAYRUN_r03.json"))
