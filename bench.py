@@ -43,18 +43,19 @@ _BASELINE_X = {16: 4.4, 8: 4.5, 1: 4.8}
 # Hand count of int32 VPU ops per (channel, sample) in the fused gather
 # kernel (ops/synth_pallas.py, uniform/premult variant, select-free trig
 # quadrants): code ramp limbs+carries (6), code-period count M via f32
-# (5), chip wrap (3), C/A gather + bit extract (4), nav window walk (11
+# (5), chip wrap (3), C/A gather + bit extract (4), nav window walk (9
 # — measured CHEAPER than a third gather in an interleaved A/B, see
-# _make_kernel doc), carrier ramp (4), quadrant-fused table index (6),
-# trig gather + sign composition (5), mix + accumulate (9) = 53 ALU ops
+# _make_kernel doc; the b0 broadcast+subtract folded away by carrying
+# m0 mod 20 in the params), carrier ramp (4), quadrant-fused table index
+# (6), trig gather + sign composition (5), mix + accumulate (9) = 51 ALU ops
 # plus 2 dynamic_gathers (together ~2% of kernel time, PROFILE_r04
 # gathers_total_share_of_kernel). Zero vector int32 multiplies remain on
 # the premultiplied path — int32 multiply is emulated multi-op on the
 # VPU, so the raw count understates that win. The compiled kernel
 # additionally spends ~8 SMEM-scalar broadcasts and ~2 lowering ops per
-# chan-sample (63 static vector ops total, OPBUDGET_r04.json); the
+# chan-sample (61 static vector ops total, OPBUDGET_r05.json); the
 # measured-vs-static reconciliation lives in docs/DESIGN.md §2a.
-_OPS_PER_CHAN_SAMPLE = 53
+_OPS_PER_CHAN_SAMPLE = 51
 # Assumed VPU int32 peak per chip: 2 TensorCores x (8 x 128)-lane VPU x
 # ~1.75 GHz x 2 ALU ops/lane/cycle ~ 7.2e12 ops/s. Kept as the stated
 # assumption; the roofline denominator is the MEASURED ceiling from
@@ -141,14 +142,17 @@ def main() -> int:
     n = scn.iq_buff_size
     B = ns.batch_epochs
 
-    # (sum, nonzero-byte count) of a packed batch's valid region. The
+    # (sum, nonzero-element count) of a packed batch's valid region. The
     # nonzero count per batch closes the dropped-batch hole a +-50k sum
     # tolerance leaves open: a batch of synthesized silence has nz == 0.
+    # Counting nonzero ELEMENTS of the array being summed (not a separate
+    # uint8 byte view) lets XLA fuse both reductions into one pass over
+    # the stream — the extra byte pass cost ~30% of end-to-end bench
+    # throughput (same-window A/B, BASELINE.md r02 reconciliation).
     @jax.jit
     def checksum(x):
-        by = jax.lax.bitcast_convert_type(x, jnp.uint8)
         return (jnp.sum(x.astype(jnp.int32)),
-                jnp.sum((by != 0).astype(jnp.int32)))
+                jnp.sum((x != 0).astype(jnp.int32)))
 
     def _stage(seg, e0, e1):
         return synth_pallas.stage_epochs(

@@ -84,21 +84,25 @@ def checksum_packed(words: jax.Array, valid_epochs: int, n_out: int,
     The sum matches the legacy per-format checksum exactly: SC16 sums the
     int16 samples, SC08 the int8 samples, SC01 the packed uint8 bytes —
     so golden values carry over from the unpacked path. nonzero counts
-    nonzero bytes, a cheap dropped-batch detector (a synthesized-silence
-    batch has sum 0 AND nonzero 0; a real batch always has signal)."""
+    nonzero ELEMENTS of the same typed view (int16 samples / int8 samples
+    / packed bytes), a cheap dropped-batch detector (a synthesized-silence
+    batch has sum 0 AND nonzero 0; a real batch always has signal).
+
+    Both reductions read ONE typed view so XLA fuses them into a single
+    pass over the stream: the earlier separate uint8 nonzero-byte pass
+    cost ~30% of end-to-end bench throughput (same-window A/B vs the
+    round-2 sum-only path, BASELINE.md reconciliation note)."""
     from gps_sdr_sim_tpu.ops.synth_pallas import packed_bytes
 
     w = words[:valid_epochs]
-    nb = packed_bytes(n_out, fmt)
-    by = jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(
-        w.shape[0], -1)[:, :nb]
-    nz = jnp.sum((by != 0).astype(jnp.int32))
     if fmt == 16:
         v = jax.lax.bitcast_convert_type(w, jnp.int16).reshape(
             w.shape[0], -1)[:, :n_out * 2]
-        return jnp.sum(v.astype(jnp.int32)), nz
-    if fmt == 8:
+    elif fmt == 8:
         v = jax.lax.bitcast_convert_type(w, jnp.int8).reshape(
             w.shape[0], -1)[:, :n_out * 2]
-        return jnp.sum(v.astype(jnp.int32)), nz
-    return jnp.sum(by.astype(jnp.int32)), nz
+    else:
+        v = jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(
+            w.shape[0], -1)[:, :packed_bytes(n_out, fmt)]
+    return (jnp.sum(v.astype(jnp.int32)),
+            jnp.sum((v != 0).astype(jnp.int32)))

@@ -223,21 +223,23 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
     (tools/ab_kernel.py); see the M computation below for the default.
 
     int_nav=True computes the nav-walk bit index by exact integers:
-    bidx = floor((mg+0.5)/20) = floor(mg/20) for integer mg (the +0.5
+    j = floor((mg+0.5)/20) = floor(mg/20) for integer mg (the +0.5
     never crosses an integer boundary over 20ths), and floor(mg/20) =
     floor(floor(mg/4)/5) = ((mg>>2)*104858)>>19 — exact (and int32
-    overflow-free) for -1 <= mg < 81920, verified exhaustively vs the
-    f32 walk over the reachable domain [-1, 2^16+128): m0 < 2^16 (wire
-    packing), in-epoch M < ~128, and mg = -1 only when T = -1. One small
-    int multiply replaces the second f32 convert/floor round trip;
-    A/B-able like int_m.
+    overflow-free) for -1 <= mg < 81920, far beyond the reachable domain
+    [-1, 148): _P_M0 now carries m0 mod 20 (folded in _wire_to_params,
+    saving a broadcast + subtract), in-epoch M < ~128, and mg = -1 only
+    when T = -1. One small int multiply replaces the second f32
+    convert/floor round trip; A/B-able like int_m.
 
     nowrap=True (the DEFAULT, adopted by measurement) gathers with
     mode="promise_in_bounds": jnp.take_along_axis otherwise inserts a
     negative-index wrap (cmp slt 0 / add size / select — 3 vector ops) in
     front of EVERY tpu.dynamic_gather, but all eight gather sites in this
     kernel bound their indices by construction (chip in [0, 1023) so
-    chip>>5 < 32; tl is &127; M < 128 by the nav-mask table contract; the
+    chip>>5 < 32; tl is &127; the opt-in nav gather masks M & 127 — M is
+    < 128 in-epoch but M = -1 is reachable when T = -1, and the mask maps
+    it to 127 exactly like the legacy wrap lowering did; the
     epilogue lane rotations are &127/&63/&7 masked), so the wrap is 6
     dead vector ops per channel-sample (tools/op_budget.py counted them:
     cmp 2.0 + select 2.0 + 2 of the adds). Bit-identical by construction
@@ -380,23 +382,30 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                     if "no_nav_gather" in ablate:
                         nav_mask = -(M & 1)  # profiler stand-in (WRONG)
                     else:
-                        nav_mask = ga(nav_b[c], M)
+                        # & 127 bounds the index for promise_in_bounds:
+                        # M = -1 is reachable (exactly when T = -1, see
+                        # the int_nav domain note), and the legacy wrap
+                        # lowering sends -1 to 127 too, so the mask is
+                        # bit-identical to the wrapped gather.
+                        nav_mask = ga(nav_b[c], M & 127)
                     # data sign: -1 iff ca_bit XOR nav bit (masks compose
                     # by XOR; (x^m)-m negates exactly, mod 2^32 like C).
                     dsign = (-ca_bit) ^ nav_mask
                 elif "no_nav_walk" in ablate:
                     dsign = -ca_bit  # profiler stand-in (WRONG samples)
                 else:
+                    # _P_M0 holds m0 mod 20 (folded in _wire_to_params),
+                    # so the floor IS the window bit index j — no b0
+                    # broadcast/subtract.
                     mg = p(_P_M0) + M
                     if int_nav:
                         # floor(mg/20) by nested exact division (see
                         # docstring); bit-identical to the f32 walk for
                         # every reachable mg in [-1, 2^17).
-                        bidx = ((mg >> 2) * 104858) >> 19
+                        j = ((mg >> 2) * 104858) >> 19
                     else:
-                        bidx = jnp.floor((mg.astype(jnp.float32) + 0.5)
-                                         * _INV20).astype(jnp.int32)
-                    j = bidx - p(_P_B0)
+                        j = jnp.floor((mg.astype(jnp.float32) + 0.5)
+                                      * _INV20).astype(jnp.int32)
                     nav_bit = (p(_P_NAVBITS) >> j) & 1
                     dsign = -(ca_bit ^ nav_bit)
 
@@ -777,9 +786,17 @@ def _wire_to_params(wire, sub_blocks: int, align: bool = False):
     def bc(a):  # [B, C] -> [B, SB, C]
         return jnp.broadcast_to(a[:, None, :], (B, SB, C))
 
+    # _P_M0 carries m0 - 20*b0 (= m0 mod 20): the kernel's nav bit index
+    # is then floor((m0r + M + 0.5)/20) DIRECTLY — the old
+    # floor((m0 + M + 0.5)/20) - b0 needed one more SMEM broadcast and a
+    # vector subtract per (row, channel). Exact: shifting the argument by
+    # 20*b0 commutes with floor(/20), and in the folded domain
+    # (m0r + M + 0.5 <= 148.5) the f32 product is always >= 0.025 away
+    # from an integer so the floor cannot misround (the unfolded form is
+    # exact over its domain too — goldens — so outputs are bit-identical).
     lanes = [cp0, cp1, qp0, qp1, t_base,
              bc(cs0), bc(cs1), bc(cs_top), bc(gs0), bc(gs1),
-             bc(m0), bc(b0), bc(navbits), bc(gain)]
+             bc(m0 - 20 * b0), bc(b0), bc(navbits), bc(gain)]
     params = jnp.stack(
         lanes + [jnp.zeros_like(t_base)] * (PARAM_LANES - len(lanes)),
         axis=-1)  # [B, SB, C, 32]

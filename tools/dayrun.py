@@ -87,6 +87,35 @@ def phase_synth(ns) -> int:
     print(f"sampling {len(blocks)} oracle blocks", file=sys.stderr)
     sampled: dict = {}
 
+    # ---- Kernel-signature warmup (off the timed region) ----
+    # The channel count varies over the day (satellite rise/set), and each
+    # distinct (n_chan, premult) pair is a separate Mosaic kernel: compiled
+    # lazily mid-run, each cold compile is a 20-60 s pipeline stall through
+    # the remote compile service (the r05 first day run lost ~160 s to
+    # these). A throwaway engine pass (~18 s host at the vectorized
+    # planner's rate) collects the EXACT signature set; compiling them up
+    # front is a few seconds warm via .jax_cache, one-time cost cold.
+    t_warm = time.time()
+    sigs = set()
+    warm_engine = build_scenario_streaming(_cfg(ns))[1]
+    for wseg in warm_engine.iter_run():
+        # Full-segment plan: premult is decided per batch from the max
+        # gain, and real batches are segment-aligned at the default B.
+        eb = plan_epochs(wseg, 0, wseg.n_epochs, scn.delt)
+        sigs.add((eb.n_chan, synth_pallas.premult_ok(eb.gain),
+                  bool(np.any(eb.code_s >> 56))))
+    from gps_sdr_sim_tpu.ops.synth_pallas import _ca_device, _get_epoch_fn
+    sub_blocks = -(-n // synth_pallas.SUBBLOCK)
+    dummy_wire = jnp.zeros((B, eb.t0.shape[1], 12), dtype=jnp.int32)
+    dummy_ca = _ca_device(np.zeros_like(eb.ca_words))
+    for n_chan, premult, int_step in sorted(sigs):
+        fn = _get_epoch_fn(max(n_chan, 1), sub_blocks, n, premult,
+                           int_step, ns.fmt, synth_pallas.nav_gather_enabled())
+        fn(dummy_wire, dummy_ca).block_until_ready()
+    warm_s = time.time() - t_warm
+    print(f"warmed {len(sigs)} kernel signatures in {warm_s:.1f} s",
+          file=sys.stderr)
+
     plan_s = 0.0
     sums = []
     nz_min = 1 << 62
@@ -134,18 +163,32 @@ def phase_synth(ns) -> int:
 
     drain_every = max(1, ns.drain_epochs // B)  # batches between syncs
     pending_sums = []  # device scalars; drained in bulk
-    pending_fetch = []  # (block_lo, device slice, recompute) awaiting D2H
 
-    def _collect_fetches():
-        # Materialize sampled-block readbacks started earlier: the D2H
-        # copy has been streaming through the tunnel while later batches
-        # synthesized, so this mostly just picks up finished bytes.
-        for blo, sl, recompute in pending_fetch:
-            host = _fetch_with_retry(sl, recompute)
-            by = words_to_bytes(host, n, ns.fmt)
-            sampled.setdefault(blo, []).append(
-                bytes(np.ascontiguousarray(by)))
-        pending_fetch.clear()
+    # Sampled-block readbacks drain on a dedicated collector thread: the
+    # D2H tunnel swings 0.3-35 MB/s, so a ~21 MB block can take up to a
+    # minute — np.asarray releases the GIL, and the main loop keeps
+    # dispatching while the collector waits. Results are keyed by a
+    # sequence number so block parts reassemble in epoch order.
+    fetch_q: queue.Queue = queue.Queue()
+    fetched: dict = {}
+    fetch_err = []
+
+    def _collector():
+        try:
+            while True:
+                item = fetch_q.get()
+                if item is None:
+                    return
+                seqno, blo, sl, recompute = item
+                host = _fetch_with_retry(sl, recompute)
+                by = words_to_bytes(host, n, ns.fmt)
+                fetched[seqno] = (blo, bytes(np.ascontiguousarray(by)))
+        except BaseException as ex:
+            fetch_err.append(ex)
+
+    collector = threading.Thread(target=_collector, daemon=True)
+    collector.start()
+    fetch_seq = 0
 
     while True:
         got = q.get()
@@ -174,14 +217,14 @@ def phase_synth(ns) -> int:
                     sl.copy_to_host_async()
                 except Exception:
                     pass  # backends without async D2H fetch at collect
-                pending_fetch.append((
-                    blo, sl,
+                fetch_q.put((
+                    fetch_seq, blo, sl,
                     lambda lo_r=lo_r, hi_r=hi_r, seg=seg, e0=e0, e1=e1:
                     synth_pallas.synth_staged_packed(
                         _stage((seg, e0, e1)), n, ns.fmt)[lo_r:hi_r]))
+                fetch_seq += 1
         batches += 1
         if batches % drain_every == 0:
-            _collect_fetches()
             # Drain checksums in ONE transfer: forces device sync, which
             # bounds in-flight batch buffers (each ~B*n*4 B of HBM) while
             # keeping the dispatch pipeline drain_epochs epochs deep.
@@ -207,7 +250,13 @@ def phase_synth(ns) -> int:
             rate = out_hi * n / (now - t_run)
             print(f"\r{done * 100:5.1f}%  {rate / 1e9:.2f} Gsamples/s  "
                   f"plan {plan_s:.0f} s", end="", file=sys.stderr)
-    _collect_fetches()
+    fetch_q.put(None)
+    collector.join()
+    if fetch_err:
+        raise fetch_err[0]
+    for seqno in sorted(fetched):
+        blo, by = fetched[seqno]
+        sampled.setdefault(blo, []).append(by)
     if pending_sums:
         drained = np.asarray(jnp.stack([jnp.stack(p) for p in pending_sums]))
         sums.extend(int(v) for v in drained[:, 0])
@@ -232,7 +281,9 @@ def phase_synth(ns) -> int:
         "fmt": ns.fmt, "epochs": total,
         "total_samples": scn.total_samples,
         "wall_s": round(wall, 1),
-        "build_s": round(t_run - t0, 2),
+        "build_s": round(t_run - t0 - warm_s, 2),
+        "warm_s": round(warm_s, 1),
+        "kernel_signatures": sorted(sigs),
         "batch_epochs": B,
         "drain_epochs": ns.drain_epochs,
         "plan_s": round(plan_s, 1),
@@ -386,11 +437,13 @@ def main() -> int:
     ap.add_argument("--duration", type=float, default=86400.0)
     ap.add_argument("--samp-freq", type=float, default=2.6e6)
     ap.add_argument("--fmt", type=int, default=16, choices=(16, 8, 1))
-    # 200-epoch batches halve per-dispatch overhead vs r04's 100 (the
-    # ~25 ms fixed cost is per synchronous pass, PROFILE_r04); the drain
+    # 300-epoch batches align exactly with the engine's 30 s segments
+    # (boundaries land every 300 epochs on whole-minute starts), so no
+    # batch carries pad epochs — at 200 every segment split into a 200 +
+    # a 100-padded-to-200 batch, wasting 1/3 of device work. The drain
     # cadence is in EPOCHS so the HBM bound (~drain_epochs*n*4 B of
     # in-flight output) and timeline granularity are batch-size-invariant.
-    ap.add_argument("--batch-epochs", type=int, default=200)
+    ap.add_argument("--batch-epochs", type=int, default=300)
     ap.add_argument("--drain-epochs", type=int, default=2000)
     ap.add_argument("--block-epochs", type=int, default=20)
     ap.add_argument("--filler-blocks", type=int, default=8)

@@ -267,8 +267,10 @@ def main() -> int:
                                         "--impl", ns.impl]
             if case["fixed_carr"]:
                 argv_ours += ["--carrier-phase", "fixed"]
-            t0 = time.time()
             for attempt in (0, 1):
+                # t0 resets per attempt so the recorded t_ours covers the
+                # SUCCESSFUL run only, not a killed first attempt.
+                t0 = time.time()
                 try:
                     ours = subprocess.run(
                         [sys.executable, "-m", "gps_sdr_sim_tpu.cli"]

@@ -212,47 +212,58 @@ def main() -> int:
     def per_cs_ns(t):
         return t / cs * 1e9
 
+    # One noise gate, used for BOTH the additivity ratio and the flag
+    # (they previously disagreed when t_full - t_alu went negative):
+    # rep-to-rep spread of the full kernel in THIS window. Any ablation
+    # delta smaller than this is below the measurement's noise floor —
+    # per-gather shares over such deltas are 0/0 and are REPORTED AS
+    # None rather than as numbers. The static op budget
+    # (tools/op_budget.py) is the primary attribution path once this
+    # profiler saturates; see OPBUDGET_r*.json.
+    noise = max(reps["full"]) - min(reps["full"])
+    vacuous = bool(max(t_trig, t_ca, abs(t_full - t_alu)) < noise)
+    if vacuous:
+        print("NOTE: ablation deltas are BELOW the rep-to-rep noise "
+              "floor in this window — per-gather shares are vacuous and "
+              "reported as null; use tools/op_budget.py for attribution.",
+              file=sys.stderr)
     breakdown = {
-        "trig_gather_ns_per_chan_sample": round(per_cs_ns(t_trig), 4),
-        "ca_gather_ns_per_chan_sample": round(per_cs_ns(t_ca), 4),
-        "nav_walk_ns_per_chan_sample": round(per_cs_ns(t_nav), 4),
+        "trig_gather_ns_per_chan_sample": (
+            None if vacuous else round(per_cs_ns(t_trig), 4)),
+        "ca_gather_ns_per_chan_sample": (
+            None if vacuous else round(per_cs_ns(t_ca), 4)),
+        "nav_walk_ns_per_chan_sample": (
+            None if vacuous else round(per_cs_ns(t_nav), 4)),
         "alu_ns_per_chan_sample": round(per_cs_ns(t_alu), 4),
         "full_ns_per_chan_sample": round(per_cs_ns(t_full), 4),
-        "gather_share_of_kernel": round((t_trig + t_ca) / t_full, 3),
+        "gather_share_of_kernel": (
+            None if vacuous else round((t_trig + t_ca) / t_full, 3)),
         # Self-test: the two single-gather deltas must sum to the joint
         # all-gathers delta. Near 1.0 = the interleaving removed the
         # window noise; PROFILE_r03's subprocess method scored 2.24 here.
-        # None when the deltas are below the noise floor: the ratio is
-        # then 0/0 and any value it takes is meaningless.
         "gather_additivity_check": (
-            None if max(t_trig, t_ca, abs(t_full - t_alu))
-            < max(reps["full"]) - min(reps["full"])
+            None if vacuous
             else round((t_trig + t_ca) / max(t_full - t_alu, 1e-12), 3)),
-        # Rep-to-rep spread of the full kernel in THIS window: any delta
-        # smaller than this is below the measurement's noise floor and
-        # the additivity ratio over such deltas is vacuous (0/0) — the
-        # honest reading is "that center costs ~0", not "noisy method".
-        "noise_floor_ns_per_chan_sample": round(
-            per_cs_ns(max(reps["full"]) - min(reps["full"])), 4),
-        "additivity_vacuous_below_noise": bool(
-            max(t_trig, t_ca, t_full - t_alu)
-            < max(reps["full"]) - min(reps["full"])),
-        "gathers_total_ns_per_chan_sample": round(
-            per_cs_ns(t_full - t_alu), 4),
-        "gathers_total_share_of_kernel": round(
-            (t_full - t_alu) / t_full, 3),
+        "noise_floor_ns_per_chan_sample": round(per_cs_ns(noise), 4),
+        "additivity_vacuous_below_noise": vacuous,
+        "gathers_total_ns_per_chan_sample": (
+            None if vacuous else round(per_cs_ns(t_full - t_alu), 4)),
+        "gathers_total_share_of_kernel": (
+            None if vacuous else round((t_full - t_alu) / t_full, 3)),
     }
     if alu_rate:
         breakdown["alu_equiv_ops_per_chan_sample"] = round(
             t_alu / cs * alu_rate, 1)
         breakdown["full_equiv_ops_per_chan_sample"] = round(
             t_full / cs * alu_rate, 1)
-        breakdown["trig_gather_equiv_alu_ops"] = round(
-            t_trig / cs * alu_rate, 1)
-        breakdown["ca_gather_equiv_alu_ops"] = round(
-            t_ca / cs * alu_rate, 1)
-        breakdown["nav_walk_equiv_alu_ops"] = round(
-            t_nav / cs * alu_rate, 1)
+        # Per-center equivalents inherit the vacuous gate: below the
+        # noise floor the per-gather deltas carry no information.
+        breakdown["trig_gather_equiv_alu_ops"] = (
+            None if vacuous else round(t_trig / cs * alu_rate, 1))
+        breakdown["ca_gather_equiv_alu_ops"] = (
+            None if vacuous else round(t_ca / cs * alu_rate, 1))
+        breakdown["nav_walk_equiv_alu_ops"] = (
+            None if vacuous else round(t_nav / cs * alu_rate, 1))
 
     epilogue = {
         "sc08_extra_ns_per_sample": round(
