@@ -141,10 +141,10 @@ def main() -> int:
     sub_blocks = -(-n // SUBBLOCK)
     tile, SBp = synth_pallas._aligned_tile(sub_blocks)
 
-    def lower(int_m):
+    def lower(int_m, fmt=16):
         inner = synth_pallas._get_pallas_fn(
             n_chan, uniform=True, tile_rows=tile, premult=premult,
-            int_step=int_step, fmt=16, int_m=int_m,
+            int_step=int_step, fmt=fmt, int_m=int_m,
             ablate=frozenset(), debug=True)
 
         def trigger():
@@ -158,8 +158,13 @@ def main() -> int:
         return text
 
     variants = {}
-    for name, int_m in (("default", False), ("int_m", True)):
-        text = lower(int_m)
+    # sc08/sc01: the same hot loop with the denser format-packing
+    # epilogues — static budgets for every shipped format (round-4
+    # verdict #7), so epilogue cost differences are attributable without
+    # the saturated timing profiler.
+    for name, int_m, fmt in (("default", False, 16), ("int_m", True, 16),
+                             ("sc08", False, 8), ("sc01", False, 1)):
+        text = lower(int_m, fmt)
         if "dynamic_gather" not in text:
             print(f"{name}: no Mosaic MLIR captured ({len(text)} bytes) — "
                   "is debug=True plumbed and the backend TPU?",
@@ -235,6 +240,10 @@ def main() -> int:
             variants["default"]["per_chan_sample"]["vector_total"],
         "int_m_vector_ops_per_chan_sample":
             variants["int_m"]["per_chan_sample"]["vector_total"],
+        "sc08_vector_ops_per_chan_sample":
+            variants["sc08"]["per_chan_sample"]["vector_total"],
+        "sc01_vector_ops_per_chan_sample":
+            variants["sc01"]["per_chan_sample"]["vector_total"],
         "predicted_equiv_ops_per_chan_sample":
             pricing and pricing["predicted_equiv_ops_per_chan_sample"],
     }))
