@@ -221,7 +221,11 @@ def main() -> int:
     # (tools/op_budget.py) is the primary attribution path once this
     # profiler saturates; see OPBUDGET_r*.json.
     noise = max(reps["full"]) - min(reps["full"])
-    vacuous = bool(max(t_trig, t_ca, abs(t_full - t_alu)) < noise)
+    # Signed comparisons: a NEGATIVE joint-gather delta (no_gathers
+    # slower than full — scheduling noise) is just as uninterpretable as
+    # a tiny one, so any delta not positively above the noise floor
+    # makes the per-gather attribution vacuous.
+    vacuous = bool(t_full - t_alu < noise or max(t_trig, t_ca) < noise)
     if vacuous:
         print("NOTE: ablation deltas are BELOW the rep-to-rep noise "
               "floor in this window — per-gather shares are vacuous and "
