@@ -641,7 +641,10 @@ def pack_params(db: DeviceBatch) -> np.ndarray:
         put_epoch(_P_CARR_S + k, gs[k])
     put_epoch(_P_CODE_S + 2, cs[2])  # integer chips/sample
     put(_P_TBASE, db.t_base)
-    put_epoch(_P_M0, db.m0)
+    # _P_M0 carries m0 mod 20 (the folded nav counter — see the
+    # _wire_to_params note); _P_B0 stays populated for tooling dumps but
+    # the kernel no longer reads it.
+    put_epoch(_P_M0, db.m0 - 20 * db.b0)
     put_epoch(_P_B0, db.b0)
     put_epoch(_P_NAVBITS, db.navbits)
     put_epoch(_P_GAIN, db.gain)
