@@ -43,19 +43,21 @@ _BASELINE_X = {16: 4.4, 8: 4.5, 1: 4.8}
 # Hand count of int32 VPU ops per (channel, sample) in the fused gather
 # kernel (ops/synth_pallas.py, uniform/premult variant, select-free trig
 # quadrants): code ramp limbs+carries (6), code-period count M via f32
-# (5), chip wrap (3), C/A gather + bit extract (4), nav window walk (9
+# (5), chip wrap (3), C/A gather + bit extract (4), nav window walk (7
 # — measured CHEAPER than a third gather in an interleaved A/B, see
 # _make_kernel doc; the b0 broadcast+subtract folded away by carrying
-# m0 mod 20 in the params), carrier ramp (4), quadrant-fused table index
-# (6), trig gather + sign composition (5), mix + accumulate (9) = 51 ALU ops
+# m0 mod 20 in the params, and the /20 f32 round trip replaced by the
+# exact ((mg>>2)*104858)>>19 since int_nav became default), carrier ramp
+# (4), quadrant-fused table index
+# (6), trig gather + sign composition (5), mix + accumulate (9) = 49 ALU ops
 # plus 2 dynamic_gathers (together ~2% of kernel time, PROFILE_r04
 # gathers_total_share_of_kernel). Zero vector int32 multiplies remain on
 # the premultiplied path — int32 multiply is emulated multi-op on the
 # VPU, so the raw count understates that win. The compiled kernel
 # additionally spends ~8 SMEM-scalar broadcasts and ~2 lowering ops per
-# chan-sample (61 static vector ops total, OPBUDGET_r05.json); the
+# chan-sample (59 static vector ops total, OPBUDGET_r05.json); the
 # measured-vs-static reconciliation lives in docs/DESIGN.md §2a.
-_OPS_PER_CHAN_SAMPLE = 51
+_OPS_PER_CHAN_SAMPLE = 49
 # Assumed VPU int32 peak per chip: 2 TensorCores x (8 x 128)-lane VPU x
 # ~1.75 GHz x 2 ALU ops/lane/cycle ~ 7.2e12 ops/s. Kept as the stated
 # assumption; the roofline denominator is the MEASURED ceiling from

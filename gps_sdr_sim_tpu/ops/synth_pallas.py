@@ -172,7 +172,7 @@ def _make_kernel(n_chan: int, tile_rows: int, quantize: bool = True,
                  uniform: bool = False, premult: bool = False,
                  int_step: bool = True, fmt: int | None = None,
                  nav_gather: bool = False, int_m: bool = False,
-                 ablate: frozenset = frozenset(), int_nav: bool = False,
+                 ablate: frozenset = frozenset(), int_nav: bool = True,
                  nowrap: bool = True, tree: bool = False):
     """quantize=False emits the raw int32 accumulators (pre-(acc+64)>>7)
     so a channel-sharded caller can psum partial sums over ICI before
@@ -511,7 +511,7 @@ def _get_pallas_fn(n_chan: int, quantize: bool = True,
                    fmt: int | None = None, tpe: int = 0,
                    int_m: bool = False,
                    ablate: frozenset | None = None,
-                   debug: bool = False, int_nav: bool = False,
+                   debug: bool = False, int_nav: bool = True,
                    nowrap: bool = True, tree: bool = False):
     """tpe > 0 (tiles per epoch; requires uniform/epoch-aligned rows)
     enables the v5 nav-gather kernel: run() then takes a third operand,

@@ -42,8 +42,11 @@ import time
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
-VARIANTS = ("default", "int_m", "int_nav", "int_all", "nav_gather", "mix",
-            "wrap", "tree")
+# int_nav=True became the DEFAULT in r5 (three interleaved A/Bs at
+# 0.987/0.994/0.996); "f32_nav" re-enables the old f32 nav walk for
+# re-evaluation, and "int_nav" is now an alias of default.
+VARIANTS = ("default", "int_m", "int_nav", "f32_nav", "int_all",
+            "nav_gather", "mix", "wrap", "tree")
 
 
 def main() -> int:
@@ -97,6 +100,8 @@ def main() -> int:
             kw["int_m"] = True
         if variant in ("int_nav", "int_all"):
             kw["int_nav"] = True
+        if variant == "f32_nav":
+            kw["int_nav"] = False
         if variant == "wrap":
             kw["nowrap"] = False
         if variant == "tree":
