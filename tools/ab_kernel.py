@@ -42,9 +42,11 @@ import time
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
-# int_nav=True became the DEFAULT in r5 (three interleaved A/Bs at
-# 0.987/0.994/0.996); "f32_nav" re-enables the old f32 nav walk for
-# re-evaluation, and "int_nav" is now an alias of default.
+# int_nav=True became the DEFAULT in r5: with the order-alternating
+# harness (see the rep loop), f32_nav measures 1.018/1.005/1.028 vs the
+# int_nav default while the identity A/B scatters +-1% with no sign —
+# a real ~1-2% win on top of the 2-op static saving. "f32_nav"
+# re-enables the old f32 walk; "int_nav" is now an alias of default.
 VARIANTS = ("default", "int_m", "int_nav", "f32_nav", "int_all",
             "nav_gather", "mix", "wrap", "tree")
 
@@ -56,7 +58,8 @@ def main() -> int:
     ap.add_argument("--fmt", type=int, default=16, choices=(16, 8, 1))
     ap.add_argument("--batch-epochs", type=int, default=400)
     ap.add_argument("--passes", type=int, default=7)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=4,
+                help="use an EVEN count: burst order alternates per rep to cancel window-warming bias")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--json", default="")
     ns = ap.parse_args()
@@ -148,8 +151,15 @@ def main() -> int:
         one_pass(fn)
 
     reps = {name: [] for name in fns}
+    order = list(fns.items())
     for rep in range(ns.reps):
-        for name, fn in fns.items():  # interleaved: same device window
+        # Alternate the burst order per rep: a monotonically-warming
+        # window otherwise hands the SECOND variant a systematic edge —
+        # an identity A/B (two jit wrappers of the same kernel) measured
+        # b_over_a 0.987 under the fixed order (AB harness audit,
+        # 2026-08-20). With alternation the warm-trend bias cancels in
+        # the per-variant best-of-reps.
+        for name, fn in (order if rep % 2 == 0 else order[::-1]):
             best = min(one_pass(fn) for _ in range(ns.passes))
             reps[name].append(round(best, 5))
             print(f"rep{rep} {name}: {best:.4f} s", file=sys.stderr)
